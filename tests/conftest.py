@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The real TPU is a single tunnelled chip (slow per-op roundtrips and no
+multi-chip hardware); multi-device sharding logic is validated the
+JAX-idiomatic way, on host-platform virtual devices (SURVEY.md §4c).
+
+Note: the installed TPU PJRT plugin ignores ``JAX_PLATFORMS`` filtering, so we
+instead pin ``jax_default_device`` to a CPU device after import.  The XLA flag
+must be set before jax initialises its backends.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import numpy as np
+import pytest
+
+
+def cpu_devices(n: int = 8):
+    return jax.devices("cpu")[:n]
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

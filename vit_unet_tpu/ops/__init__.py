@@ -1,0 +1,5 @@
+from vit_unet_tpu.ops.patches import (
+    patchify, unpatchify, flatten_patches, unflatten,
+    split_patches, merge_patches, change_patch_size,
+    patchify_cl, unpatchify_cl, unflatten_cl, change_patch_size_cl,
+)
