@@ -1,0 +1,134 @@
+"""Golden parity tests: JAX model vs the from-scratch torch oracle.
+
+BASELINE.json target: outputs within 1e-4 of the torch ViT_UNet for the
+canonical semantics.  Run in eval mode (dropout off, BatchNorm running stats)
+— the reference's only stateful/dropout-free comparable mode.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.oracle import torch_oracle as TO
+from vit_unet_tpu.models.vit_unet import ViTUNet, ViTUNetConfig
+from vit_unet_tpu.nn.blocks import ReAttentionEncoderBlock
+from vit_unet_tpu.nn.patch_encoder import PatchEncoder
+from vit_unet_tpu.nn.reattention import ReAttention, SkipConnection
+from vit_unet_tpu.utils.torch_import import import_torch_state_dict
+
+TOL = 1e-4
+
+
+def to_jax_vars(module: torch.nn.Module) -> dict:
+    return jax.tree.map(jnp.asarray,
+                        import_torch_state_dict(module.state_dict()))
+
+
+def wrap_stats(variables: dict, flax_vars: dict) -> dict:
+    """Ensure batch_stats collection exists (identity stats if torch had none)."""
+    if "batch_stats" in flax_vars and "batch_stats" not in variables:
+        variables["batch_stats"] = flax_vars["batch_stats"]
+    return variables
+
+
+@pytest.mark.parametrize("qkv_kernel", [1, 3])
+def test_reattention_parity(rng, qkv_kernel):
+    torch.manual_seed(0)
+    dim, n, heads = 48, 16, 4
+    tmod = TO.ReAttention(dim, num_heads=heads, qkv_kernel=qkv_kernel).eval()
+    x = rng.standard_normal((2, n, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+
+    jmod = ReAttention(dim=dim, num_heads=heads, qkv_kernel=qkv_kernel)
+    ref_vars = jmod.init(jax.random.key(0), jnp.zeros((2, n, dim)))
+    variables = {"params": to_jax_vars(tmod)["params"]}
+    variables = wrap_stats(variables, ref_vars)
+    # torch module tree has no wrapper prefix; flax params are at top level too
+    got = np.asarray(jmod.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
+
+
+def test_encoder_block_parity(rng):
+    torch.manual_seed(1)
+    n, proj, hidden, heads = 16, 48, 24, 4
+    tmod = TO.ReAttentionTransformerEncoder(
+        n, 3, proj, hidden, heads, 0.0, 0.0, 0.0).eval()
+    x = rng.standard_normal((2, n, proj)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+
+    jmod = ReAttentionEncoderBlock(
+        num_patches=n, projection_dim=proj, hidden_dim=hidden, num_heads=heads)
+    ref_vars = jmod.init(jax.random.key(0), jnp.zeros((2, n, proj)))
+    variables = wrap_stats(to_jax_vars(tmod), ref_vars)
+    got = np.asarray(jmod.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
+
+
+def test_skip_connection_parity(rng):
+    torch.manual_seed(2)
+    dim, n, heads = 48, 16, 4
+    tmod = TO.SkipConnection(dim, num_heads=heads).eval()
+    q = rng.standard_normal((2, n, dim)).astype(np.float32)
+    k = rng.standard_normal((2, n, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(q), torch.from_numpy(k),
+                    torch.from_numpy(k)).numpy()
+
+    jmod = SkipConnection(dim=dim, num_heads=heads)
+    ref_vars = jmod.init(jax.random.key(0), jnp.zeros((2, n, dim)),
+                         jnp.zeros((2, n, dim)), jnp.zeros((2, n, dim)))
+    sd = {f"attn.{k2}" if not k2.startswith("attn.") else k2: v
+          for k2, v in tmod.state_dict().items()}
+    variables = wrap_stats(
+        jax.tree.map(jnp.asarray, import_torch_state_dict(sd)), ref_vars)
+    got = np.asarray(jmod.apply(variables, jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(k)))
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
+
+
+def test_patch_encoder_parity(rng):
+    torch.manual_seed(3)
+    tmod = TO.PatchEncoder(depth=2, num_patches=16, patch_size=16,
+                           num_channels=3, preprocessing="conv").eval()
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+    jmod = PatchEncoder(depth=2, num_patches=16, patch_size=16)
+    variables = to_jax_vars(tmod)
+    got = np.asarray(jmod.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
+
+
+@pytest.mark.parametrize("qkv_kernel", [3, 1])
+def test_full_model_parity(rng, qkv_kernel):
+    """End-to-end eval-mode parity on a small-but-real hierarchy (depth 2)."""
+    torch.manual_seed(4)
+    kw = dict(depth=2, depth_te=1, size_bottleneck=1, preprocessing="conv",
+              im_size=64, patch_size=16, num_channels=3, hidden_dim=32,
+              num_heads=4, attn_drop=0.0, proj_drop=0.0, linear_drop=0.0)
+    tmod = TO.ViTUNetOracle(**kw, qkv_kernel=qkv_kernel).eval()
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tmod(torch.from_numpy(x)).numpy()
+
+    jmod = ViTUNet(ViTUNetConfig(**kw, qkv_kernel=qkv_kernel))
+    ref_vars = jmod.init(jax.random.key(0), jnp.zeros((1, 3, 64, 64)))
+    variables = wrap_stats(to_jax_vars(tmod), ref_vars)
+    got = np.asarray(jax.jit(
+        lambda v, a: jmod.apply(v, a))(variables, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
+
+
+def test_param_counts_match_readme():
+    from vit_unet_tpu.models.vit_unet import get_vit_unet
+    for name, want in [("lite", 3_387_568), ("base", 36_613_036),
+                       ("large", 63_043_866)]:
+        m = get_vit_unet(name)
+        v = m.init(jax.random.key(0),
+                   jnp.zeros((1, 3, m.config.im_size, m.config.im_size)))
+        assert sum(x.size for x in jax.tree.leaves(v["params"])) == want

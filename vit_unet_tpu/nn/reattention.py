@@ -1,0 +1,181 @@
+"""Re-attention (DeepViT-style) with conv-QKV in patch space, TPU-native.
+
+Reference behaviour (``torch/model.py:113-164`` / ``tf/functions.py:185-254``):
+Q/K/V are produced by per-patch CxC convolutions on the *image form* of each
+token, attention is standard scaled-dot-softmax, and a learned 1x1 convolution
+across heads followed by BatchNorm re-mixes the attention maps before they
+multiply V.  The reference loops over the batch in Python for the convs (its
+#1 perf bug, SURVEY.md §7); here the conv runs once over a fused (B*N) batch
+and everything stays inside one jitted graph.
+
+An optional fused Pallas path (``vit_unet_tpu.kernels``) computes the same
+function without materialising the (N, N) attention matrix in HBM; it is
+numerically validated against this XLA path in tests.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_unet_tpu.ops.patches import unflatten, unflatten_cl
+
+
+def conv_tokens(x: jnp.ndarray, conv: Callable, num_channels: int,
+                layout: str = "cm") -> jnp.ndarray:
+    """Apply a CxC conv to every token's (C, p, p) patch image.
+
+    x: (B, N, C*p*p) tokens -> same shape.  ``layout='cm'`` treats the token
+    vector as channel-major (torch flavour); ``'cl'`` as channels-last (TF
+    flavour, ``tf/functions.py:224-238``).  The conv is a flax module
+    expecting NHWC; tokens are folded into the conv batch so one conv call
+    covers (B*N) patches (vs the reference's per-sample Python loop at
+    ``torch/model.py:152-154``).
+    """
+    b, n, e = x.shape
+    if layout == "cm":
+        pats = unflatten(x, num_channels)                # (B, N, C, p, p)
+        p = pats.shape[-1]
+        nhwc = pats.reshape(b * n, num_channels, p, p).transpose(0, 2, 3, 1)
+        out = conv(nhwc)
+        return out.transpose(0, 3, 1, 2).reshape(b, n, e)
+    pats = unflatten_cl(x, num_channels)                 # (B, N, p, p, C)
+    p = pats.shape[2]
+    out = conv(pats.reshape(b * n, p, p, num_channels))
+    return out.reshape(b, n, e)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, N, E) -> (B, H, N, E/H); head h owns the contiguous channel-major
+    slice [h*E/H, (h+1)*E/H) of the flattened patch (torch/model.py:152)."""
+    b, n, e = x.shape
+    return x.reshape(b, n, num_heads, e // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, N, dh) -> (B, N, E)."""
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+
+
+class ReAttention(nn.Module):
+    """Self re-attention over patch tokens (torch/model.py:113-164).
+
+    ``qkv_kernel=3`` matches the packaged model / README configs;
+    ``qkv_kernel=1`` matches the notebook prototype (ViT_UNet.ipynb cell 26).
+    ``qkv_gelu=True`` adds the TF flavour's GELU after each QKV conv
+    (tf/functions.py:227-233).
+    """
+
+    dim: int
+    num_channels: int = 3
+    num_heads: int = 8
+    qkv_kernel: int = 3
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    apply_transform: bool = True
+    transform_scale: bool = False
+    qkv_gelu: bool = False
+    use_flash: bool = False  # fused Pallas re-attention (vit_unet_tpu.kernels)
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        conv = lambda name: nn.Conv(
+            self.num_channels, (self.qkv_kernel, self.qkv_kernel),
+            padding="SAME", use_bias=self.qkv_bias,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        self.qconv2d = conv("qconv2d")
+        self.kconv2d = conv("kconv2d")
+        self.vconv2d = conv("vconv2d")
+        if self.apply_transform:
+            self.reatten_matrix = nn.Conv(
+                self.num_heads, (1, 1), dtype=self.dtype,
+                param_dtype=self.param_dtype, name="reatten_matrix")
+            self.var_norm = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, axis=-1,
+                axis_name=self.bn_axis_name, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="var_norm")
+        self.attn_dropout = nn.Dropout(self.attn_drop)
+        self.proj = nn.Dense(self.dim, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="proj")
+        self.proj_dropout = nn.Dropout(self.proj_drop)
+
+    @property
+    def scale(self) -> float:
+        return self.qk_scale or (self.dim // self.num_heads) ** -0.5
+
+    def _qkv(self, q_in, k_in, v_in):
+        def go(x, conv):
+            y = conv_tokens(x, conv, self.num_channels)
+            if self.qkv_gelu:
+                y = jax.nn.gelu(y, approximate=False)
+            return split_heads(y, self.num_heads)
+        return (go(q_in, self.qconv2d), go(k_in, self.kconv2d),
+                go(v_in, self.vconv2d))
+
+    def _attend(self, q, k, v, *, deterministic, use_running_average):
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=self.dtype) * self.scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = self.attn_dropout(attn, deterministic=deterministic)
+        if self.apply_transform:
+            # 1x1 conv across heads + BatchNorm over heads: run both in NHWC
+            # ((B, N, M, H)) so the head axis is the feature axis.
+            a = attn.transpose(0, 2, 3, 1)
+            a = self.reatten_matrix(a)
+            a = self.var_norm(a, use_running_average=use_running_average)
+            attn = a.transpose(0, 3, 1, 2)
+            reatten_scale = self.scale if self.transform_scale else 1.0
+            attn = attn * reatten_scale
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=self.dtype)
+        return merge_heads(out)
+
+    def __call__(self, x, *, deterministic: bool = True,
+                 use_running_average: bool = True):
+        q, k, v = self._qkv(x, x, x)
+        out = self._attend(q, k, v, deterministic=deterministic,
+                           use_running_average=use_running_average)
+        out = self.proj(out)
+        return self.proj_dropout(out, deterministic=deterministic)
+
+
+class SkipConnection(nn.Module):
+    """Cross-attention skip fusion (torch/model.py:211-259): query = encoder
+    skip, key/value = decoder stream; re-attention transform always on."""
+
+    dim: int
+    num_channels: int = 3
+    num_heads: int = 8
+    qkv_kernel: int = 3
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    transform_scale: bool = False
+    qkv_gelu: bool = False
+    bn_axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, *, deterministic: bool = True,
+                 use_running_average: bool = True):
+        inner = ReAttention(
+            dim=self.dim, num_channels=self.num_channels,
+            num_heads=self.num_heads, qkv_kernel=self.qkv_kernel,
+            qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop, apply_transform=True,
+            transform_scale=self.transform_scale, qkv_gelu=self.qkv_gelu,
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="attn")
+        qh, kh, vh = inner._qkv(q, k, v)
+        out = inner._attend(qh, kh, vh, deterministic=deterministic,
+                            use_running_average=use_running_average)
+        out = inner.proj(out)
+        return inner.proj_dropout(out, deterministic=deterministic)
