@@ -1,0 +1,87 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4c):
+DP + TP sharded train/eval steps compile, run, and train."""
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vit_unet_tpu.models.vit_unet import ViTUNet, ViTUNetConfig
+from vit_unet_tpu.parallel.mesh import create_mesh, replica_count
+from vit_unet_tpu.parallel.partition import partition_specs, spec_for_path
+from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
+from vit_unet_tpu.train.losses import mse
+from vit_unet_tpu.train.metrics import psnr
+
+
+def small_model():
+    return ViTUNet(ViTUNetConfig(
+        depth=2, depth_te=1, size_bottleneck=1, preprocessing="conv",
+        im_size=64, patch_size=16, num_channels=3, hidden_dim=32, num_heads=4,
+        attn_drop=0.1, proj_drop=0.1, linear_drop=0.0))
+
+
+def make_state(model, tx):
+    v = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 3, 64, 64)))
+    return TrainState.create(params=v["params"], tx=tx,
+                             batch_stats=v.get("batch_stats", {}),
+                             rng=jax.random.key(1))
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_train_step(model_parallel):
+    devices = jax.devices("cpu")[:8]
+    mesh = create_mesh(model_parallel=model_parallel, devices=devices)
+    assert replica_count(mesh) == 8 // model_parallel
+
+    model = small_model()
+    tx = optax.adamw(1e-3)
+    state = make_state(model, tx)
+    steps = build_step_functions(model, tx, mse, mesh=mesh,
+                                 metrics={"psnr": psnr})
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 3, 64, 64)).astype(np.float32)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(x * 0.9)}
+
+    losses = []
+    for _ in range(3):
+        state, m = steps.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # it learns the near-identity map
+    assert int(state.step) == 3
+
+    em = steps.eval_step(state, batch)
+    assert np.isfinite(float(em["loss"]))
+    assert np.isfinite(float(em["psnr"]))
+
+    if model_parallel > 1:
+        # at least one param must actually be sharded over 'model'
+        specs = jax.tree.leaves(
+            partition_specs(state.params),
+            is_leaf=lambda s: isinstance(s, P))
+        assert any("model" in str(s) for s in specs)
+        # and its array really lives sharded on the mesh
+        fc1 = state.params["Encoders_0"]["FeedForward"]["fc1"]["kernel"]
+        assert len(fc1.sharding.device_set) == 8
+
+
+def test_partition_rules():
+    assert spec_for_path("Encoders_0/FeedForward/fc1/kernel") == P(None, "model")
+    assert spec_for_path("Encoders_0/FeedForward/fc2/kernel") == P("model", None)
+    assert spec_for_path("Encoders_0/ReAttn/proj/kernel") == P(None, "model")
+    assert spec_for_path("Encoders_0/ReAttn/qconv2d/kernel") == P()
+    assert spec_for_path("PE/conv2d/kernel") == P()
+
+
+def test_train_step_no_mesh():
+    model = small_model()
+    tx = optax.adam(1e-3)
+    state = make_state(model, tx)
+    steps = build_step_functions(model, tx, mse)
+    batch = {"x": jnp.ones((2, 3, 64, 64)), "y": jnp.ones((2, 3, 64, 64))}
+    state, m = steps.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))

@@ -56,6 +56,14 @@ class HViTUNetTFConfig:
             raise ValueError("patch sizes must be strictly increasing")
         if self.resampling_type in ("max", "avg") and self.projection_dim is None:
             raise ValueError("projection_dim required for max/avg resampling")
+        if self.projection_dim is not None:
+            want = self.num_channels * ps[0] ** 2
+            if self.projection_dim != want:
+                # the global-residual unpatch (tf/model.py:208) requires the
+                # level-0 projection to be exactly C*patch_size[0]^2
+                raise ValueError(
+                    f"projection_dim must be num_channels*patch_size[0]^2 = "
+                    f"{want} for the residual output to reassemble an image")
         if self.resampling_type == "standard" and self.projection_dim is not None:
             raise ValueError("projection_dim is auto-computed for 'standard'")
 

@@ -46,13 +46,24 @@ class Resampling(nn.Module):
 
         if self.resampling_type in ("max", "avg"):
             assert self.projection_dim is not None
-            assert p_to > p_from, "pooling resampling only merges patches"
-            k = p_to // p_from
             g = self.img_size // p_from
             grid = encoded.reshape(encoded.shape[0], g, g, -1)
-            op = "max" if self.resampling_type == "max" else "mean"
-            pooled = reduce(grid, "b (r i) (s j) e -> b (r s) e", op, i=k, j=k)
-            return pooled + pos(self.projection_dim)
+            if p_to > p_from:  # merge patches (encoder direction)
+                k = p_to // p_from
+                op = "max" if self.resampling_type == "max" else "mean"
+                out = reduce(grid, "b (r i) (s j) e -> b (r s) e", op, i=k, j=k)
+            else:
+                # Split direction: the reference computes pool_size 0 here and
+                # crashes (tf/functions.py:75,101); we define the natural
+                # inverse — nearest-neighbour token upsampling — so max/avg
+                # resampling is usable end-to-end.
+                k = p_from // p_to
+                out = rearrange(
+                    jnp.broadcast_to(grid[:, :, None, :, None, :],
+                                     (*grid.shape[:2], k, grid.shape[2], k,
+                                      grid.shape[-1])),
+                    "b r i s j e -> b (r i s j) e")
+            return out + pos(self.projection_dim)
 
         if self.resampling_type == "standard":
             factor = p_to // p_from if p_to > p_from else p_from // p_to
@@ -70,13 +81,23 @@ class Resampling(nn.Module):
         # axis (N_from -> N_to filters), applied with shared weights for every
         # image channel.  The reference runs it as map_fn over the batch with
         # the channel axis folded into the conv batch; here both fold at once.
-        k = n_from // n_to  # the reference's pool_size
         pats = unflatten_cl(encoded, self.num_channels)   # (B, N, p, p, C)
         b = pats.shape[0]
         x = rearrange(pats, "b n h w c -> (b c) h w n")
-        y = nn.Conv(n_to, (k // 2, k // 2), strides=(k // 2, k // 2),
-                    padding="SAME", dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="conv")(x)
+        if n_to < n_from:  # merge direction (the reference's only valid one)
+            k = n_from // n_to  # the reference's pool_size
+            y = nn.Conv(n_to, (k // 2, k // 2), strides=(k // 2, k // 2),
+                        padding="SAME", dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv")(x)
+        else:
+            # Split direction: undefined in the reference (kernel size 0,
+            # tf/functions.py:92); we define the symmetric inverse — a
+            # transposed conv growing the intra-patch grid.
+            k = n_to // n_from
+            y = nn.ConvTranspose(n_to, (k // 2, k // 2),
+                                 strides=(k // 2, k // 2), padding="SAME",
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="conv")(x)
         out = rearrange(y, "(b c) h w m -> b m (h w c)", b=b)
         dim = self.projection_dim or self.num_channels * p_to ** 2
         out = nn.Dense(dim, dtype=self.dtype,

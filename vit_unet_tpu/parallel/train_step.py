@@ -1,0 +1,158 @@
+"""Sharded train/eval steps — the TPU-native replacement for Keras
+``model.fit`` under ``TPUStrategy`` (SURVEY.md §3.3).
+
+One jitted SPMD program per step: batch sharded over the 'data' mesh axis,
+params laid out by ``partition.py`` rules (replicated for pure DP, sharded
+over 'model' for TP).  Gradient all-reduce is implicit — XLA inserts psum
+over ICI from the shardings, exactly where ``TPUStrategy`` hid it in the
+reference.  Dropout RNG is folded per-step and per-data-shard; BatchNorm
+batch_stats are carried as mutable state (and can be synced across replicas
+by constructing the model with ``bn_axis_name`` under shard_map — by default
+stats are computed on the global batch because attention maps are batch-major
+sharded and XLA reduces globally).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_unet_tpu.parallel.partition import partition_specs
+
+
+class TrainState(struct.PyTreeNode):
+    """Carried training state (params + opt + BN stats + step + base rng)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, *, params, tx, batch_stats=None, rng=None):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params),
+                   batch_stats=batch_stats if batch_stats is not None else {},
+                   rng=rng if rng is not None else jax.random.key(0))
+
+
+@dataclasses.dataclass
+class StepFunctions:
+    train_step: Callable
+    eval_step: Callable
+    state_sharding: Any
+
+
+def build_step_functions(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    mesh: Optional[Mesh] = None,
+    metrics: Optional[dict[str, Callable]] = None,
+    donate: bool = True,
+) -> StepFunctions:
+    """Build jitted train/eval steps for a flax model over a mesh.
+
+    The model's ``apply`` must accept ``deterministic`` and (if it carries
+    BatchNorm) ``use_running_average``; both ViTUNet and HViTUNetTF do.
+    """
+    metrics = metrics or {}
+
+    def _variables(state: TrainState):
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def train_step(state: TrainState, batch: dict):
+        x, y = batch["x"], batch["y"]
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = model.apply(
+                variables, x, deterministic=False, use_running_average=False,
+                rngs={"dropout": step_rng},
+                mutable=mutable) if mutable else (model.apply(
+                    variables, x, deterministic=False,
+                    rngs={"dropout": step_rng}), None)
+            pred, updates = out if mutable else (out[0], None)
+            loss = loss_fn(pred.astype(jnp.float32), y.astype(jnp.float32))
+            return loss, (pred, updates)
+
+        (loss, (pred, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_params_updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, new_params_updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state,
+            batch_stats=(updates["batch_stats"] if updates else state.batch_stats))
+        out_metrics = {"loss": loss}
+        for name, fn in metrics.items():
+            out_metrics[name] = fn(pred.astype(jnp.float32),
+                                   y.astype(jnp.float32))
+        return new_state, out_metrics
+
+    def eval_step(state: TrainState, batch: dict):
+        x, y = batch["x"], batch["y"]
+        pred = model.apply(_variables(state), x, deterministic=True,
+                           use_running_average=True)
+        out = {"loss": loss_fn(pred.astype(jnp.float32),
+                               y.astype(jnp.float32))}
+        for name, fn in metrics.items():
+            out[name] = fn(pred.astype(jnp.float32), y.astype(jnp.float32))
+        return out
+
+    if mesh is None:
+        return StepFunctions(jax.jit(train_step, donate_argnums=(0,) if donate else ()),
+                             jax.jit(eval_step), None)
+
+    # Mesh path: batch over 'data', params per partition rules.  Shardings
+    # are structural (don't depend on array values), so they're derived once
+    # from an abstract state inside a cached closure keyed by jit itself:
+    # in_shardings of the jitted function do the layout, and XLA inserts the
+    # gradient psum over ICI exactly where TPUStrategy hid it.
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    metric_shardings = {"loss": repl, **{m: repl for m in metrics}}
+
+    def state_sharding_for(state: TrainState) -> TrainState:
+        def to_sharding(spec_tree):
+            return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                                is_leaf=lambda x: isinstance(x, P))
+        return TrainState(
+            step=repl,
+            params=to_sharding(partition_specs(state.params)),
+            opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+            batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
+            rng=repl)
+
+    _cache: dict = {}
+
+    def make(fn, key, is_train):
+        def wrapped(state, batch):
+            if key not in _cache:
+                ss = state_sharding_for(state)
+                batch_sh = jax.tree.map(lambda _: data, batch)
+                _cache[key] = jax.jit(
+                    fn, in_shardings=(ss, batch_sh),
+                    out_shardings=((ss, metric_shardings) if is_train
+                                   else metric_shardings),
+                    donate_argnums=(0,) if (is_train and donate) else ())
+            return _cache[key](state, batch)
+        return wrapped
+
+    return StepFunctions(make(train_step, "train", True),
+                         make(eval_step, "eval", False), state_sharding_for)

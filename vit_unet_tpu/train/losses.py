@@ -1,0 +1,56 @@
+"""Losses — all jittable, on-device (SURVEY.md §5 metrics/loss layer).
+
+Covers the reference's training objectives: MSE (``run_denoising.py:80``,
+TF notebook cell 19) and the README soft-Dice spec (``README.md:89-102``),
+plus standard restoration extras (MAE, Charbonnier) the target tasks
+(SIDD/GoPro/derain) conventionally use.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.square(pred - target))
+
+
+def mae(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def charbonnier(pred: jnp.ndarray, target: jnp.ndarray,
+                eps: float = 1e-3) -> jnp.ndarray:
+    """Robust L1 variant used by SIDD/GoPro restoration SOTA."""
+    return jnp.mean(jnp.sqrt(jnp.square(pred - target) + eps * eps))
+
+
+def soft_dice_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                   smooth: float = 1.0) -> jnp.ndarray:
+    """Soft Dice loss per the README spec (README.md:89-102): flatten,
+    1 - (2*intersection + s) / (sum(p) + sum(t) + s)."""
+    p = pred.reshape(-1)
+    t = target.reshape(-1)
+    intersection = jnp.sum(p * t)
+    return 1.0 - (2.0 * intersection + smooth) / (jnp.sum(p) + jnp.sum(t) + smooth)
+
+
+def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Binary cross-entropy for segmentation heads."""
+    log_p = jnp.clip(logits, a_min=None, a_max=0) - jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    log_not_p = log_p - logits
+    return -jnp.mean(target * log_p + (1.0 - target) * log_not_p)
+
+
+LOSSES = {
+    "mse": mse,
+    "mae": mae,
+    "charbonnier": charbonnier,
+    "soft_dice": soft_dice_loss,
+    "bce": bce_with_logits,
+}
+
+
+def get_loss(name: str):
+    if name not in LOSSES:
+        raise ValueError(f"unknown loss {name!r}; choose from {sorted(LOSSES)}")
+    return LOSSES[name]
