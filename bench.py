@@ -1,0 +1,62 @@
+"""Headline benchmark: images/sec/chip, ViT-UNet base, 224², full train step.
+
+Baseline (BASELINE.md): the reference's only measured TPU number is the TF
+notebook path — ~413 ms/step at global batch 64 on a v2-8, i.e. ~19.4
+images/sec/chip at 128² (ViT_UNet_TF_TPU.ipynb cell 23).  We report the
+train-step throughput of the canonical `base` model at the *larger* 224²
+resolution on one chip; vs_baseline is the ratio to 19.4 img/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 155.0 / 8.0  # TF-TPU notebook on v2-8
+
+
+def main() -> None:
+    from vit_unet_tpu.models.vit_unet import get_vit_unet
+    from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
+    from vit_unet_tpu.train.losses import mse
+
+    batch = 32
+    model = get_vit_unet("base", dtype="bfloat16")
+    tx = optax.adamw(1e-4)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 3, 224, 224)))
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.key(1))
+    steps = build_step_functions(model, tx, mse)
+
+    x = jax.random.normal(jax.random.key(2), (batch, 3, 224, 224), jnp.float32)
+    data = {"x": x, "y": x * 0.9}
+
+    # warmup / compile
+    state, m = steps.train_step(state, data)
+    jax.block_until_ready(m["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = steps.train_step(state, data)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec = batch / dt
+    print(json.dumps({
+        "metric": "images/sec/chip, base 224^2 train step (bf16)",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

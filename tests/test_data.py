@@ -1,0 +1,126 @@
+"""Data layer tests: TFRecord codec, datasets, loader, augmentations."""
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from vit_unet_tpu.data import tfrecord as tfr
+from vit_unet_tpu.data.augment import (Compose, HorizontalFlip, Resize,
+                                       ShiftScaleRotate, train_transforms)
+from vit_unet_tpu.data.datasets import (DeblurringDataset, DenoisingDataset,
+                                        kfold_split)
+from vit_unet_tpu.data.loader import DataLoader, prefetch_to_device, tfrecord_dataset
+
+
+def test_crc32c_vectors():
+    # standard Castagnoli test vectors
+    assert tfr._crc32c_py(b"123456789") == 0xE3069283
+    assert tfr._crc32c_py(b"") == 0
+    assert tfr.masked_crc(b"") == (0 + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def test_example_roundtrip():
+    feats = {"x": np.arange(12, dtype=np.uint8).tobytes(), "y": b"hi",
+             "f": np.asarray([1.5, -2.25], np.float32), "i": [3, -4, 5]}
+    dec = tfr.decode_example(tfr.encode_example(feats))
+    assert dec["x"][0] == feats["x"]
+    assert dec["y"][0] == b"hi"
+    np.testing.assert_array_equal(dec["f"], [1.5, -2.25])
+    np.testing.assert_array_equal(dec["i"], [3, -4, 5])
+
+
+def test_record_crc_detects_corruption(tmp_path):
+    path = str(tmp_path / "a.tfrec")
+    with tfr.TFRecordWriter(path) as w:
+        w.write_example({"x": b"payload"})
+    blob = bytearray(open(path, "rb").read())
+    blob[-6] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(IOError):
+        list(tfr.read_examples(path))
+
+
+def test_sharded_convert_and_count(tmp_path):
+    items = [{"x": bytes([i]) * 1000, "y": bytes([i])} for i in range(30)]
+    paths = tfr.convert(items, str(tmp_path), "ssid_fold_0_",
+                        lambda it: it, max_mb=1)
+    assert tfr.count_data_items(paths) == 30
+    back = [ex for p in paths for ex in tfr.read_examples(p)]
+    assert len(back) == 30
+
+
+def make_pairs(root, n=8, size=48):
+    rng = np.random.default_rng(0)
+    for sub in ("clean", "noisy"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(n):
+        clean = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        noisy = np.clip(clean.astype(int) +
+                        rng.integers(-20, 20, clean.shape), 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "clean", f"{i:03d}.png"), clean)
+        cv2.imwrite(os.path.join(root, "noisy", f"{i:03d}.png"), noisy)
+
+
+def test_denoising_dataset_and_loader(tmp_path):
+    make_pairs(str(tmp_path))
+    ds = DenoisingDataset.from_folder(str(tmp_path), im_size=32)
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["x"].shape == (3, 32, 32) and s["x"].dtype == np.float32
+    assert 0.0 <= s["x"].min() and s["x"].max() <= 1.0
+
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2)
+    assert len(dl) == 2
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["x"].shape == (4, 3, 32, 32)
+
+    # drop_remainder
+    dl3 = DataLoader(ds, batch_size=3, shuffle=False)
+    assert len(dl3) == 2
+    assert all(b["x"].shape[0] == 3 for b in dl3)
+
+    # device prefetch
+    got = list(prefetch_to_device(iter(DataLoader(ds, 4))))
+    assert len(got) == 2 and got[0]["x"].shape == (4, 3, 32, 32)
+
+
+def test_dataset_pairing_error(tmp_path):
+    make_pairs(str(tmp_path), n=4)
+    os.remove(os.path.join(str(tmp_path), "noisy", "003.png"))
+    with pytest.raises(ValueError):
+        DenoisingDataset.from_folder(str(tmp_path))
+
+
+def test_tfrecord_dataset_pipeline(tmp_path):
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (16, 16, 3), dtype=np.uint8) for _ in range(6)]
+    items = [{"x": im.tobytes(), "y": im.tobytes()} for im in imgs]
+    paths = tfr.convert(items, str(tmp_path), "fold_0_", lambda it: it)
+    ds = tfrecord_dataset(paths, shape=(16, 16, 3))
+    assert len(ds) == 6
+    s = ds[2]
+    np.testing.assert_allclose(
+        s["x"], imgs[2].astype(np.float32).transpose(2, 0, 1) / 255.0)
+
+
+def test_augmentations_paired(rng):
+    img = (np.mgrid[0:32, 0:32][0] * 8).astype(np.uint8)
+    img = np.stack([img] * 3, axis=-1)
+    tr = Compose([Resize(24, 24), HorizontalFlip(p=1.0),
+                  ShiftScaleRotate(p=1.0)])
+    gen = np.random.default_rng(0)
+    a, b = tr(gen, img.copy(), img.copy())
+    assert a.shape == (24, 24, 3)
+    np.testing.assert_array_equal(a, b)  # identical geometry on both
+
+
+def test_kfold_split():
+    folds = list(kfold_split(50, 5))
+    assert len(folds) == 5
+    for train, val in folds:
+        assert len(train) + len(val) == 50
+        assert not set(train) & set(val)
+    all_val = np.concatenate([v for _, v in folds])
+    assert sorted(all_val.tolist()) == list(range(50))

@@ -1,0 +1,122 @@
+"""Trainer subsystem tests: losses/metrics sanity, Fitter end-to-end on a
+tiny synthetic denoising task, checkpoint save/reload, callbacks."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_unet_tpu.models.vit_unet import ViTUNet, ViTUNetConfig
+from vit_unet_tpu.train.callbacks import EarlyStopping, JSONLLogger, ReduceLROnPlateau
+from vit_unet_tpu.train.fitter import Fitter
+from vit_unet_tpu.train.losses import charbonnier, mse, soft_dice_loss
+from vit_unet_tpu.train.metrics import dice_score, precision_recall_f1, psnr, ssim
+
+
+def test_losses_and_metrics_sanity(rng):
+    a = jnp.asarray(rng.random((2, 3, 32, 32), dtype=np.float32))
+    assert float(mse(a, a)) == 0.0
+    assert float(charbonnier(a, a)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(soft_dice_loss(a, a)) == pytest.approx(
+        1 - (2 * float(jnp.sum(a * a)) + 1) / (2 * float(jnp.sum(a)) + 1),
+        rel=1e-4)
+    assert float(psnr(a, a)) > 100.0
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    assert float(dice_score(a, a)) == pytest.approx(
+        2 * float(jnp.sum(a * a)) / (2 * float(jnp.sum(a))), rel=1e-4)
+    prf = precision_recall_f1(a, a)
+    assert float(prf["f1"]) == pytest.approx(1.0)
+
+
+def test_psnr_matches_definition(rng):
+    pred = jnp.asarray(rng.random((2, 3, 16, 16), dtype=np.float32))
+    target = jnp.asarray(rng.random((2, 3, 16, 16), dtype=np.float32))
+    per_img = []
+    for i in range(2):
+        m = float(jnp.mean((pred[i] - target[i]) ** 2))
+        per_img.append(10 * np.log10(1.0 / m))
+    assert float(psnr(pred, target)) == pytest.approx(np.mean(per_img), rel=1e-5)
+
+
+class SyntheticDenoise:
+    """y = clean gradient image, x = y + noise."""
+
+    def __init__(self, n=16, size=32, seed=0):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:size, 0:size] / size
+        base = np.stack([yy, xx, yy * xx]).astype(np.float32)
+        self.items = []
+        for _ in range(n):
+            noise = rng.normal(0, 0.05, base.shape).astype(np.float32)
+            self.items.append({"x": base + noise, "y": base})
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def small_fitter(tmp_path, **kw):
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, num_channels=3, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0, linear_drop=0.0))
+    return Fitter(model, learning_rate=3e-3, loss="mse", metrics=("psnr",),
+                  checkpoint_dir=str(tmp_path), **kw)
+
+
+def batches(ds, bs=8):
+    from vit_unet_tpu.data.loader import DataLoader
+    return DataLoader(ds, bs, shuffle=True, num_workers=0)
+
+
+def test_fitter_end_to_end(tmp_path):
+    ds = SyntheticDenoise()
+    fitter = small_fitter(tmp_path)
+    dl = batches(ds)
+    history = fitter.fit(lambda: iter(dl), lambda: iter(dl), n_epochs=4,
+                         verbose=False)
+    assert history["loss"][-1] < history["loss"][0]
+    assert "val_psnr" in history
+    # best checkpoint written and reloadable
+    assert os.path.isdir(os.path.join(str(tmp_path), "best-checkpoint"))
+    step_before = int(fitter.state.step)
+    params_before = jax.tree.leaves(fitter.state.params)[0]
+    fitter.load()
+    assert int(fitter.state.step) <= step_before
+    # predict runs
+    out = fitter.predict(np.stack([ds[0]["x"]]))
+    assert out.shape == (1, 3, 32, 32)
+
+
+def test_reduce_lr_and_early_stopping(tmp_path):
+    ds = SyntheticDenoise(n=8)
+    fitter = small_fitter(tmp_path)
+    dl = batches(ds, bs=4)
+    log_path = os.path.join(str(tmp_path), "log.jsonl")
+    # patience 0 epochs won't trigger; use monitor that never improves
+    cbs = [ReduceLROnPlateau(monitor="val_loss", patience=1, factor=0.5),
+           EarlyStopping(monitor="val_loss", patience=2),
+           JSONLLogger(log_path)]
+    fitter.fit(lambda: iter(dl), lambda: iter(dl), n_epochs=3, callbacks=cbs,
+               verbose=False)
+    lr0 = 3e-3
+    assert fitter.learning_rate <= lr0 * (1 + 1e-5)  # may have been reduced
+    assert os.path.exists(log_path)
+    with open(log_path) as f:
+        lines = [l for l in f if l.strip()]
+    assert len(lines) >= 1
+
+
+def test_fitter_lr_setter(tmp_path):
+    ds = SyntheticDenoise(n=4)
+    fitter = small_fitter(tmp_path)
+    dl = batches(ds, bs=4)
+    fitter.fit(lambda: iter(dl), n_epochs=1, verbose=False)
+    fitter.learning_rate = 1e-5
+    assert fitter.learning_rate == pytest.approx(1e-5)
+    # training still works after LR mutation
+    fitter.fit(lambda: iter(dl), n_epochs=1, verbose=False)

@@ -1,0 +1,146 @@
+"""Input pipeline: dataset -> shuffled, batched, device-prefetched batches.
+
+TPU-native replacement for the reference's two pipelines — torch
+``DataLoader(num_workers=2)`` (``run_denoising.py:60-75``) and the ``tf.data``
+cache/repeat/shuffle/batch(drop_remainder)/prefetch chain
+(``ViT_UNet_TF_TPU.ipynb`` cell 16) — without either framework:
+
+* a thread pool decodes/augments samples ahead of consumption,
+* batches are always full (``drop_remainder`` — static shapes for XLA),
+* per-host sharding for multi-host data parallelism,
+* ``prefetch_to_device`` keeps H2D copies off the step's critical path.
+
+Also provides ``tfrecord_dataset`` to stream the reference's TFRecord shards
+(Convert_tfrecords.ipynb schema: x/y raw-byte features).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from vit_unet_tpu.data import tfrecord as tfr
+
+
+class DataLoader:
+    """Iterable of {'x','y'} numpy batches from an indexable dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_remainder: bool = True, num_workers: int = 2,
+                 seed: int = 0, shard_id: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            idx = rng.permutation(idx)
+        # per-host shard (each host feeds its own slice of the global batch)
+        return idx[self.shard_id::self.num_shards]
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._indices()
+        self._epoch += 1
+        bs = self.batch_size
+
+        def fetch(i: int) -> dict:
+            return self.dataset[int(i)]
+
+        if self.num_workers == 0:
+            samples: Iterable[dict] = (fetch(i) for i in indices)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(self.num_workers)
+            samples = pool.map(fetch, indices)
+
+        batch: list[dict] = []
+        for s in samples:
+            batch.append(s)
+            if len(batch) == bs:
+                yield _collate(batch)
+                batch = []
+        if batch and not self.drop_remainder:
+            yield _collate(batch)
+
+
+def _collate(samples: Sequence[dict]) -> dict:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def tfrecord_dataset(paths: Sequence[str], shape: tuple, dtype=np.uint8,
+                     normalize: bool = True, channels_first: bool = True):
+    """Materialise the reference's TFRecord shards into an indexable dataset.
+
+    Records are {x: bytes, y: bytes} of raw pixels (Convert_tfrecords.ipynb
+    cell 2).  ``shape`` is the per-image (H, W, C).
+    """
+    xs, ys = [], []
+    for p in paths:
+        for ex in tfr.read_examples(p):
+            x = np.frombuffer(ex["x"][0], dtype=dtype).reshape(shape)
+            y = np.frombuffer(ex["y"][0], dtype=dtype).reshape(shape)
+            xs.append(x)
+            ys.append(y)
+
+    class _InMemory:
+        def __len__(self):
+            return len(xs)
+
+        def __getitem__(self, i):
+            x = xs[i].astype(np.float32)
+            y = ys[i].astype(np.float32)
+            if normalize:
+                x = x / 255.0
+                y = y / 255.0
+            if channels_first:
+                x = x.transpose(2, 0, 1)
+                y = y.transpose(2, 0, 1)
+            return {"x": x, "y": y}
+
+    return _InMemory()
+
+
+def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
+                       sharding=None) -> Iterator[dict]:
+    """Move batches to device (optionally with a batch sharding) ahead of the
+    consumer, overlapping H2D with compute — the role tf.data's
+    ``prefetch(AUTOTUNE)`` played in the reference."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

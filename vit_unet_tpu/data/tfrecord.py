@@ -1,0 +1,341 @@
+"""First-party TFRecord codec (no TensorFlow dependency).
+
+The reference writes SIDD pairs as TFRecords via benatools
+(``Convert_tfrecords.ipynb`` cells 0-3: ``tf.train.Example`` with bytes
+features ``{x, y}``, fold-sharded files ``ssid_fold_k_*`` capped at
+``max_mb``, item count encoded in the filename) and reads them back with
+``tf.io.parse_single_example`` (``ViT_UNet_TF_TPU.ipynb`` cell 16).  This
+module implements the actual wire formats so the framework can interoperate
+with real TFRecord shards:
+
+* record framing: ``uint64 length | masked_crc32c(length) | payload |
+  masked_crc32c(payload)`` (little-endian, CRC32-Castagnoli with TF's mask);
+* a minimal ``tf.train.Example`` protobuf codec for bytes / float / int64
+  feature lists (hand-rolled varint/length-delimited encoding — the full
+  protobuf toolchain is unnecessary for this fixed schema).
+
+A C++ fast path for CRC + record scanning is loaded when built
+(``vit_unet_tpu/data/_native``); the pure-Python path is always available.
+"""
+from __future__ import annotations
+
+import os
+import re
+import struct
+from typing import Iterable, Iterator, Mapping
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# CRC32-Castagnoli (polynomial 0x1EDC6F41, reflected 0x82F63B78) + TF mask
+# --------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc_table():
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        table = np.zeros(256, dtype=np.uint32)
+        for i in range(256):
+            crc = np.uint32(i)
+            for _ in range(8):
+                crc = (crc >> np.uint32(1)) ^ (np.uint32(0x82F63B78) *
+                                               (crc & np.uint32(1)))
+            table[i] = crc
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def _crc32c_py(data: bytes) -> int:
+    table = _crc_table()
+    crc = np.uint32(0xFFFFFFFF)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    for b in arr:
+        crc = table[(crc ^ b) & np.uint32(0xFF)] ^ (crc >> np.uint32(8))
+    return int(crc ^ np.uint32(0xFFFFFFFF))
+
+
+def _load_native():
+    try:
+        from vit_unet_tpu.data import _native  # noqa
+        return _native
+    except Exception:
+        return None
+
+
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def crc32c(data: bytes) -> int:
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE = _load_native()
+        _NATIVE_CHECKED = True
+    if _NATIVE is not None:
+        return _NATIVE.crc32c(data)
+    return _crc32c_py(data)
+
+
+def masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+# --------------------------------------------------------------------------
+# Minimal protobuf for tf.train.Example
+# --------------------------------------------------------------------------
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        bits = n & 0x7F
+        n >>= 7
+        out.append(bits | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """length-delimited field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def encode_feature(value) -> bytes:
+    """Feature := bytes_list(1) | float_list(2) | int64_list(3)."""
+    if isinstance(value, (bytes, bytearray, np.void)):
+        value = [bytes(value)]
+    if isinstance(value, str):
+        value = [value.encode()]
+    if isinstance(value, np.ndarray):
+        if value.dtype == np.float32 or value.dtype == np.float64:
+            value = value.astype(np.float32).ravel().tolist()
+        elif value.dtype.kind in "iu":
+            value = value.ravel().tolist()
+        else:
+            value = [value.tobytes()]
+    if not isinstance(value, (list, tuple)):
+        value = [value]
+    first = value[0] if value else b""
+    if isinstance(first, (bytes, bytearray)):
+        inner = b"".join(_ld(1, bytes(v)) for v in value)
+        return _ld(1, inner)                      # BytesList
+    if isinstance(first, float):
+        packed = struct.pack(f"<{len(value)}f", *value)
+        inner = _varint((1 << 3) | 2) + _varint(len(packed)) + packed
+        return _ld(2, inner)                      # FloatList (packed)
+    if isinstance(first, int):
+        packed = b"".join(_varint(v & 0xFFFFFFFFFFFFFFFF) for v in value)
+        inner = _varint((1 << 3) | 2) + _varint(len(packed)) + packed
+        return _ld(3, inner)                      # Int64List (packed)
+    raise TypeError(f"unsupported feature value type {type(first)}")
+
+
+def encode_example(features: Mapping[str, object]) -> bytes:
+    """tf.train.Example{features: Features{feature: map<string, Feature>}}."""
+    entries = b""
+    for key, value in features.items():
+        entry = _ld(1, key.encode()) + _ld(2, encode_feature(value))
+        entries += _ld(1, entry)                  # map entry in Features
+    return _ld(1, entries)                        # Example.features
+
+
+def decode_example(buf: bytes) -> dict:
+    """Decode Example -> {name: list[bytes] | np.ndarray}."""
+    out: dict = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        if tag >> 3 != 1 or tag & 7 != 2:
+            raise ValueError("not an Example message")
+        flen, pos = _read_varint(buf, pos)
+        features_buf = buf[pos:pos + flen]
+        pos += flen
+        fpos = 0
+        while fpos < len(features_buf):
+            ftag, fpos = _read_varint(features_buf, fpos)
+            elen, fpos = _read_varint(features_buf, fpos)
+            entry = features_buf[fpos:fpos + elen]
+            fpos += elen
+            key, feat = _decode_map_entry(entry)
+            out[key] = feat
+    return out
+
+
+def _decode_map_entry(entry: bytes):
+    pos = 0
+    key = None
+    feat = None
+    while pos < len(entry):
+        tag, pos = _read_varint(entry, pos)
+        length, pos = _read_varint(entry, pos)
+        body = entry[pos:pos + length]
+        pos += length
+        if tag >> 3 == 1:
+            key = body.decode()
+        else:
+            feat = _decode_feature(body)
+    return key, feat
+
+
+def _decode_feature(body: bytes):
+    tag, pos = _read_varint(body, 0)
+    field = tag >> 3
+    length, pos = _read_varint(body, pos)
+    inner = body[pos:pos + length]
+    if field == 1:  # BytesList
+        values = []
+        ipos = 0
+        while ipos < len(inner):
+            _, ipos = _read_varint(inner, ipos)
+            blen, ipos = _read_varint(inner, ipos)
+            values.append(inner[ipos:ipos + blen])
+            ipos += blen
+        return values
+    if field == 2:  # FloatList (packed)
+        _, ipos = _read_varint(inner, 0)
+        plen, ipos = _read_varint(inner, ipos)
+        return np.frombuffer(inner, dtype="<f4", offset=ipos, count=plen // 4)
+    if field == 3:  # Int64List (packed)
+        _, ipos = _read_varint(inner, 0)
+        plen, ipos = _read_varint(inner, ipos)
+        values = []
+        end = ipos + plen
+        while ipos < end:
+            v, ipos = _read_varint(inner, ipos)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            values.append(v)
+        return np.asarray(values, dtype=np.int64)
+    raise ValueError(f"unknown Feature field {field}")
+
+
+# --------------------------------------------------------------------------
+# Record-level IO
+# --------------------------------------------------------------------------
+
+class TFRecordWriter:
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, payload: bytes) -> None:
+        header = struct.pack("<Q", len(payload))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", masked_crc(header)))
+        self._f.write(payload)
+        self._f.write(struct.pack("<I", masked_crc(payload)))
+
+    def write_example(self, features: Mapping[str, object]) -> None:
+        self.write(encode_example(features))
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        (length,) = struct.unpack_from("<Q", data, pos)
+        header = data[pos:pos + 8]
+        (hcrc,) = struct.unpack_from("<I", data, pos + 8)
+        payload = data[pos + 12:pos + 12 + length]
+        (pcrc,) = struct.unpack_from("<I", data, pos + 12 + length)
+        if verify_crc:
+            if masked_crc(header) != hcrc:
+                raise IOError(f"corrupt record header at offset {pos} in {path}")
+            if masked_crc(payload) != pcrc:
+                raise IOError(f"corrupt record payload at offset {pos} in {path}")
+        yield payload
+        pos += 16 + length
+
+
+def read_examples(path: str, verify_crc: bool = True) -> Iterator[dict]:
+    for payload in read_records(path, verify_crc):
+        yield decode_example(payload)
+
+
+# --------------------------------------------------------------------------
+# Sharded conversion (benatools.tf.tfrec.convert equivalent)
+# --------------------------------------------------------------------------
+
+def convert(
+    items: Iterable,
+    folder: str,
+    prefix: str,
+    serialize_fn,
+    max_mb: int = 1000,
+    zfill: int = 3,
+) -> list[str]:
+    """Write items into size-capped shards named ``{prefix}{idx}-{count}.tfrec``
+    with the item count in the filename (the contract ``count_data_items``
+    relies on, ``ViT_UNet_TF_TPU.ipynb`` cell 16)."""
+    os.makedirs(folder, exist_ok=True)
+    paths: list[str] = []
+    shard_idx = 0
+    shard_bytes = 0
+    shard_count = 0
+    tmp_path = None
+    writer = None
+
+    def finish():
+        nonlocal writer, tmp_path, shard_idx, shard_bytes, shard_count
+        if writer is None:
+            return
+        writer.close()
+        final = os.path.join(
+            folder, f"{prefix}{str(shard_idx).zfill(zfill)}-{shard_count}.tfrec")
+        os.replace(tmp_path, final)
+        paths.append(final)
+        shard_idx += 1
+        shard_bytes = 0
+        shard_count = 0
+        writer = None
+
+    for item in items:
+        features = serialize_fn(item)
+        payload = encode_example(features)
+        if writer is not None and shard_bytes + len(payload) > max_mb * 2**20:
+            finish()
+        if writer is None:
+            tmp_path = os.path.join(folder, f".{prefix}tmp{shard_idx}")
+            writer = TFRecordWriter(tmp_path)
+        writer.write(payload)
+        shard_bytes += len(payload) + 16
+        shard_count += 1
+    finish()
+    return paths
+
+
+_COUNT_RE = re.compile(r"-(\d+)\.tfrec(?:ord)?$")
+
+
+def count_data_items(filenames: Iterable[str]) -> int:
+    """Sum the item counts encoded in shard filenames."""
+    total = 0
+    for name in filenames:
+        m = _COUNT_RE.search(os.path.basename(name))
+        if not m:
+            raise ValueError(f"no item count in filename {name!r}")
+        total += int(m.group(1))
+    return total
