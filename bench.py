@@ -14,6 +14,12 @@ import json
 import time
 
 import jax
+
+# Persistent compile cache: the train-step XLA compile dominates cold runs
+# (minutes over the tunnel); warm runs skip straight to stepping.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import optax
 
@@ -38,16 +44,24 @@ def main() -> None:
     x = jax.random.normal(jax.random.key(2), (batch, 3, 224, 224), jnp.float32)
     data = {"x": x, "y": x * 0.9}
 
-    # warmup / compile
-    state, m = steps.train_step(state, data)
-    jax.block_until_ready(m["loss"])
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    # warmup / compile.  NOTE on methodology: under the axon tunnel backend,
+    # block_until_ready() is unreliable on a cold pipeline and deep unsynced
+    # dispatch queues degrade pathologically (donated buffers can't be
+    # reclaimed while queued).  A scalar D2H (float()) per step is the robust
+    # barrier; it slightly overstates step time (includes one tunnel
+    # round-trip), making the reported number conservative.
+    for _ in range(3):
         state, m = steps.train_step(state, data)
-    jax.block_until_ready(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
+        float(m["loss"])
+
+    iters = 10
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, m = steps.train_step(state, data)
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median
 
     img_per_sec = batch / dt
     print(json.dumps({

@@ -1,0 +1,153 @@
+"""Numerical equivalence of the fused Pallas flash re-attention kernel
+against the XLA reference path (interpret mode on CPU).
+
+The kernel computes the full ReAttention contraction (torch/model.py:150-164,
+eval mode: BatchNorm running stats + no dropout) without materialising the
+(N, N) attention matrix; see vit_unet_tpu/kernels/flash_reattention.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_unet_tpu.kernels.flash_reattention import (
+    flash_reattention,
+    fold_reattention_affine,
+)
+
+
+def reference_reattention(q, k, v, m, c):
+    """XLA/naive eval-mode re-attention: softmax -> affine head mix -> @V.
+
+    q, k: (B, H, N, dh) with q pre-scaled; v: (B, H, N, dh);
+    m: (H, H) effective head-mix matrix; c: (H,) effective bias.
+    Returns merged-head (B, N, H*dh).
+    """
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jnp.einsum("gh,bhnm->bgnm", m, attn) + c[None, :, None, None]
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    b, h, n, dh = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+
+
+@pytest.mark.parametrize("n,heads,dh", [(128, 4, 8), (200, 8, 4), (384, 2, 16)])
+def test_flash_matches_reference(n, heads, dh):
+    rng = np.random.default_rng(0)
+    batch = 2
+    q = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(heads, heads)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(heads,)), jnp.float32)
+
+    ref = reference_reattention(q, k, v, m, c)
+
+    v_cat = v.transpose(0, 2, 1, 3).reshape(batch, n, heads * dh)
+    w = jnp.repeat(m.T, dh, axis=1)          # (h2, H*dh)
+    b = jnp.repeat(c, dh)                    # (H*dh,)
+    out = flash_reattention(q, k, v_cat, w, b, num_heads=heads,
+                            block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fold_affine_matches_conv_bn():
+    """fold_reattention_affine must reproduce 1x1 conv + eval BatchNorm."""
+    rng = np.random.default_rng(1)
+    heads, dh, n = 4, 8, 64
+    attn = jnp.asarray(rng.normal(size=(2, heads, n, n)), jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+
+    ck = jnp.asarray(rng.normal(size=(1, 1, heads, heads)), jnp.float32)
+    cb = jnp.asarray(rng.normal(size=(heads,)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(heads,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads,)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=(heads,)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, size=(heads,)), jnp.float32)
+    eps = 1e-5
+
+    # Reference: NHWC 1x1 conv over head axis then eval BN (reattention.py).
+    a = attn.transpose(0, 2, 3, 1)                      # (B, N, M, H)
+    a = jnp.einsum("bnmh,hg->bnmg", a, ck[0, 0]) + cb
+    a = (a - mean) / jnp.sqrt(var + eps) * scale + bias
+    ref_attn = a.transpose(0, 3, 1, 2)                  # (B, H, N, M)
+
+    w, b = fold_reattention_affine(ck, cb, scale, bias, mean, var,
+                                   eps=eps, num_heads=heads, dh=dh)
+    m_eff = w[:, ::dh].T                                # (h, h2)
+    c_eff = b[::dh]
+    got = jnp.einsum("gh,bhnm->bgnm", m_eff, attn) + c_eff[None, :, None, None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_attn),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flash_via_module_params():
+    """End-to-end: fold a real ReAttention module's params and match its
+    eval-mode _attend output (dropout off, running stats)."""
+    from vit_unet_tpu.nn.reattention import ReAttention, split_heads
+
+    heads, dh = 4, 12
+    dim = heads * dh
+    n, batch = 160, 2
+    mod = ReAttention(dim=dim, num_channels=3, num_heads=heads,
+                      apply_transform=True)
+    # Only exercise _attend: build q/k/v head tensors directly.
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+    q = split_heads(x, heads)
+    k = split_heads(jnp.roll(x, 1, axis=1), heads)
+    v = split_heads(x * 0.5 + 0.1, heads)
+
+    variables = mod.init(jax.random.key(0),
+                         jnp.zeros((batch, n, 3 * 16)))  # p=4 patches: C*p*p=48
+
+    def attend(variables, q, k, v):
+        def fn(m):
+            return m._attend(q, k, v, deterministic=True,
+                             use_running_average=True)
+        return mod.apply(variables, method=fn)
+
+    ref = attend(variables, q, k, v)
+
+    p = variables["params"]
+    bs = variables["batch_stats"]["var_norm"]
+    w, b = fold_reattention_affine(
+        p["reatten_matrix"]["kernel"], p["reatten_matrix"]["bias"],
+        p["var_norm"]["scale"], p["var_norm"]["bias"],
+        bs["mean"], bs["var"], eps=1e-5, num_heads=heads, dh=dh)
+    scale = mod.scale
+    v_cat = v.transpose(0, 2, 1, 3).reshape(batch, n, dim)
+    out = flash_reattention(q * scale, k, v_cat, w, b, num_heads=heads,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_use_flash_flag_end_to_end():
+    """ReAttention(use_flash=True) must equal the XLA path through __call__
+    (eval mode), with an identical parameter tree."""
+    from vit_unet_tpu.nn.reattention import ReAttention
+
+    heads, p, c = 4, 4, 3
+    dim = c * p * p                                     # 48
+    n, batch = 96, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+
+    kw = dict(dim=dim, num_channels=c, num_heads=heads, apply_transform=True)
+    ref_mod = ReAttention(use_flash=False, **kw)
+    fl_mod = ReAttention(use_flash=True, **kw)
+    variables = ref_mod.init(jax.random.key(0), x)
+    variables_fl = fl_mod.init(jax.random.key(0), x)
+    assert (jax.tree.structure(variables_fl) ==
+            jax.tree.structure(variables))
+
+    ref = ref_mod.apply(variables, x, deterministic=True,
+                        use_running_average=True)
+    out = fl_mod.apply(variables, x, deterministic=True,
+                       use_running_average=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

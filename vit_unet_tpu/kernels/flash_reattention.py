@@ -1,0 +1,180 @@
+"""Fused flash re-attention — the framework's headline Pallas kernel.
+
+Computes the full re-attention contraction of ``ReAttention``
+(torch/model.py:150-164) without materialising the (N, N) attention matrix:
+
+    attn_h  = softmax(q_h @ k_h^T * scale)                 (per head)
+    attn'_h = sum_h2 M[h, h2] * attn_h2 + c[h]             (1x1 conv across
+                                                            heads + BatchNorm
+                                                            eval affine,
+                                                            folded into M, c)
+    out_h   = attn'_h @ v_h
+
+The XLA path writes softmax(B, H, N, N) to HBM (157 MB *per image* at the
+lite model's finest level, N=3136) and reads it back twice (conv + BN + @V).
+Here everything stays in VMEM tiles with online softmax.
+
+The trick that makes the head-mix fusable: it is affine in the *normalised*
+attention probabilities and the normaliser l_h2 is per (head, row), so
+
+    out[:, p] = sum_h2 W[h2, p] * (T_h2[:, p] / l_h2) + b[p] * vsum[p]
+    with  T_h2 = exp(s_h2 - m_h2) @ V_cat     (V_cat = heads concatenated)
+          W[h2, p] = M[head_of(p), h2],  b[p] = c[head_of(p)]
+
+i.e. per-KV-tile we accumulate H cross products ``p_h2 @ V_cat`` (wide,
+MXU-friendly matmuls over the full projection dim instead of a thin per-head
+d_h) and the head-mix collapses to an elementwise multiply-add epilogue —
+no lane-unaligned head slicing inside the kernel.
+
+Used for deterministic (eval/serving) paths; training falls back to XLA
+(BatchNorm batch statistics + attention dropout need the materialised map).
+Numerical equivalence vs the XLA path is tested in tests/test_kernels.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, vsum_ref, w_ref, b_ref, o_ref,
+            m_s, l_s, acc_s, *, num_heads: int, n_valid: int, block_k: int):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    block_q = q_ref.shape[2]
+    k_start = ki * block_k
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+    key_mask = col_ids < n_valid
+
+    v = v_ref[0]                                   # (block_k, proj)
+    for h in range(num_heads):                     # static, unrolled
+        qh = q_ref[0, h]                           # (block_q, dh) — pre-scaled
+        kh = k_ref[0, h]                           # (block_k, dh)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (block_q, block_k)
+        s = jnp.where(key_mask, s, NEG_INF)
+
+        m_prev = m_s[h]                            # (block_q, 128)
+        l_prev = l_s[h]
+        m_curr = jnp.max(s, axis=1, keepdims=True)          # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)                # (block_q, 128)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])      # (block_q, 1)
+        p = jnp.exp(s - m_next[:, :1])                      # (block_q, block_k)
+        l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_s[h] = m_next
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)  # (bq, proj)
+        acc_s[h] = acc_s[h] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _epilogue():
+        out = b_ref[0][None, :] * vsum_ref[0, 0][None, :]
+        for h2 in range(num_heads):
+            l = l_s[h2][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            out = out + w_ref[h2][None, :] * (acc_s[h2] * l_inv)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "interpret"))
+def flash_reattention(
+    q: jnp.ndarray,          # (B, H, N, dh) — already scaled by qk_scale
+    k: jnp.ndarray,          # (B, H, N, dh)
+    v_cat: jnp.ndarray,      # (B, N, H*dh)  heads concatenated (token layout)
+    w: jnp.ndarray,          # (H, H*dh)  W[h2, p] = M[head_of(p), h2]
+    b: jnp.ndarray,          # (H*dh,)    b[p] = c[head_of(p)]
+    *,
+    num_heads: int,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns (B, N, H*dh) — the merged-head re-attention output."""
+    batch, heads, n, dh = q.shape
+    proj = v_cat.shape[-1]
+    assert heads == num_heads and proj == heads * dh
+
+    n_pad = -n % math.lcm(block_q, block_k)
+    if n_pad:
+        pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        q = jnp.pad(q, pad4)
+        k = jnp.pad(k, pad4)
+        v_cat = jnp.pad(v_cat, ((0, 0), (0, n_pad), (0, 0)))
+    np_ = n + n_pad
+
+    vsum = jnp.sum(v_cat.astype(jnp.float32), axis=1, keepdims=True)  # (B,1,proj)
+
+    grid = (batch, np_ // block_q, np_ // block_k)
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, n_valid=n,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((batch, np_, proj), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, heads, block_q, dh),
+                             lambda bi, qi, ki: (bi, 0, qi, 0)),
+                pl.BlockSpec((1, heads, block_k, dh),
+                             lambda bi, qi, ki: (bi, 0, ki, 0)),
+                pl.BlockSpec((1, block_k, proj),
+                             lambda bi, qi, ki: (bi, ki, 0)),
+                pl.BlockSpec((1, 1, proj), lambda bi, qi, ki: (bi, 0, 0)),
+                pl.BlockSpec((num_heads, proj), lambda bi, qi, ki: (0, 0)),
+                pl.BlockSpec((1, proj), lambda bi, qi, ki: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, proj),
+                                   lambda bi, qi, ki: (bi, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),   # m
+                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),   # l
+                pltpu.VMEM((num_heads, block_q, proj), jnp.float32),  # acc
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q, k, v_cat, vsum, w.astype(jnp.float32),
+      b.reshape(1, proj).astype(jnp.float32))
+    return out[:, :n, :]
+
+
+def fold_reattention_affine(conv_kernel, conv_bias, bn_scale, bn_bias,
+                            bn_mean, bn_var, *, eps: float = 1e-5,
+                            reatten_scale: float = 1.0,
+                            num_heads: int, dh: int):
+    """Fold the 1x1 head-mix conv + BatchNorm (eval) into (W, b) for the
+    kernel epilogue.
+
+    conv_kernel: (1, 1, H, H) flax layout (in=h2, out=h) or (H, H) [h, h2].
+    Returns (w, b): w (H, H*dh) with w[h2, p] = A[head_of(p)] *
+    conv[head_of(p), h2]; b (H*dh,) = A[h]*conv_bias[h] + B[h] broadcast.
+    """
+    ck = jnp.asarray(conv_kernel)
+    if ck.ndim == 4:                     # flax conv kernel (1, 1, in, out)
+        m = ck[0, 0].T                   # -> (out=h, in=h2)
+    else:
+        m = ck
+    a = bn_scale / jnp.sqrt(bn_var + eps)
+    c = (bn_bias - a * bn_mean) + a * jnp.asarray(conv_bias)
+    m_eff = (a[:, None] * m) * reatten_scale          # (h, h2)
+    c_eff = c * reatten_scale                          # (h,)
+    w = jnp.repeat(m_eff.T, dh, axis=1)                # (h2, H*dh)
+    b = jnp.repeat(c_eff, dh)                          # (H*dh,)
+    return w, b

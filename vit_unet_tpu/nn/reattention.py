@@ -119,7 +119,40 @@ class ReAttention(nn.Module):
         return (go(q_in, self.qconv2d), go(k_in, self.kconv2d),
                 go(v_in, self.vconv2d))
 
+    def _attend_flash(self, q, k, v):
+        """Fused Pallas path: online-softmax re-attention, eval semantics
+        (running BN stats, no attention dropout).  Numerically equivalent to
+        the XLA path — tests/test_kernels.py."""
+        from vit_unet_tpu.kernels.flash_reattention import (
+            flash_reattention, fold_reattention_affine)
+        # Touch the head-mix layers so the param tree is identical to the
+        # XLA path (flax creates submodule params lazily on first call).
+        dummy = jnp.zeros((1, 1, 1, self.num_heads), self.dtype)
+        _ = self.var_norm(self.reatten_matrix(dummy), use_running_average=True)
+        cp = self.reatten_matrix.variables["params"]
+        bp = self.var_norm.variables["params"]
+        bs = self.var_norm.variables["batch_stats"]
+        dh = self.dim // self.num_heads
+        w, b = fold_reattention_affine(
+            cp["kernel"], cp["bias"], bp["scale"], bp["bias"],
+            bs["mean"], bs["var"], eps=1e-5,
+            reatten_scale=self.scale if self.transform_scale else 1.0,
+            num_heads=self.num_heads, dh=dh)
+        batch, _, n, _ = q.shape
+        v_cat = merge_heads(v)
+        # Interpret off-TPU (tests/CPU); the installed TPU plugin ignores
+        # JAX_PLATFORMS so the *default device* is the execution authority.
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interp = platform != "tpu"
+        return flash_reattention(
+            (q * self.scale).astype(self.dtype), k.astype(self.dtype), v_cat,
+            w, b, num_heads=self.num_heads, interpret=interp)
+
     def _attend(self, q, k, v, *, deterministic, use_running_average):
+        if (self.use_flash and self.apply_transform and deterministic
+                and use_running_average and not self.is_initializing()):
+            return self._attend_flash(q, k, v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=self.dtype) * self.scale
         attn = jax.nn.softmax(attn, axis=-1)
