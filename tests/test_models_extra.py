@@ -1,0 +1,207 @@
+"""Tests for the auxiliary model families and training extras:
+FNet (Fourier) blocks, the ViT classifier, classification loss/metrics,
+LR schedules, and the profiling utilities."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+# -- Fourier / FNet variant (FformerEncoder, ViT_UNet.ipynb cell 24) --------
+
+def test_fourier_block_shape_and_shared_ln():
+    from vit_unet_tpu.nn.blocks import FourierEncoderBlock
+
+    n, proj = 16, 48
+    blk = FourierEncoderBlock(num_patches=n, projection_dim=proj,
+                              hidden_dim=32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, n, proj)),
+                    jnp.float32)
+    variables = blk.init(jax.random.key(0), x)
+    out = blk.apply(variables, x)
+    assert out.shape == x.shape
+    # ONE shared LN (reference uses a single self.LN for both residuals),
+    # and its params are joint over (tokens, features).
+    params = variables["params"]
+    assert set(params.keys()) == {"LN", "FeedForward"}
+    assert params["LN"]["scale"].shape == (n, proj)
+
+
+def test_fourier_block_semantics():
+    """x1 = LN(x + Re(FFT2 x)); out = LN(x1 + FF(x1)) — FFT over the last
+    two axes, matching torch.fft.fft2 on (B, N, proj)."""
+    from vit_unet_tpu.nn.blocks import FourierEncoderBlock
+
+    n, proj = 8, 12
+    blk = FourierEncoderBlock(num_patches=n, projection_dim=proj,
+                              hidden_dim=16)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, n, proj)),
+                    jnp.float32)
+    variables = blk.init(jax.random.key(0), x)
+
+    mixed = x + jnp.fft.fft2(x).real
+    # verify the spectral-mix step feeds the first LN by recomputing with
+    # the module's own LN/FF applied manually
+    ln_scale = variables["params"]["LN"]["scale"]
+    ln_bias = variables["params"]["LN"]["bias"]
+    mu = mixed.mean(axis=(-2, -1), keepdims=True)
+    var = mixed.var(axis=(-2, -1), keepdims=True)
+    x1 = (mixed - mu) / jnp.sqrt(var + 1e-5) * ln_scale + ln_bias
+
+    from vit_unet_tpu.nn.feedforward import FeedForward
+    ff = FeedForward(projection_dim=proj, hidden_dim=16, dropout=0.0)
+    ff_out = ff.apply({"params": variables["params"]["FeedForward"]}, x1)
+    mixed2 = x1 + ff_out
+    mu2 = mixed2.mean(axis=(-2, -1), keepdims=True)
+    var2 = mixed2.var(axis=(-2, -1), keepdims=True)
+    expected = (mixed2 - mu2) / jnp.sqrt(var2 + 1e-5) * ln_scale + ln_bias
+
+    out = blk.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vit_unet_fourier_variant_runs():
+    from vit_unet_tpu.models.vit_unet import ViTUNet, ViTUNetConfig
+
+    cfg = ViTUNetConfig(depth=2, depth_te=1, size_bottleneck=1,
+                        preprocessing="none", im_size=64, patch_size=16,
+                        hidden_dim=32, num_heads=4, attn_drop=0.0,
+                        proj_drop=0.0, block_type="fourier")
+    model = ViTUNet(cfg)
+    x = jnp.ones((2, 3, 64, 64))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 3, 64, 64)
+
+
+# -- ViT classifier family (TPUs_in_Colab.ipynb cell 27) --------------------
+
+def test_vit_classifier_forward():
+    from vit_unet_tpu.models.vit_classifier import (
+        ViTClassifier, ViTClassifierConfig)
+
+    cfg = ViTClassifierConfig(depth=2, depth_te=1, linear_list=(32, 4),
+                              num_patches=16, patch_size=16, hidden_dim=64,
+                              num_heads=4, attn_drop=0.0, proj_drop=0.0,
+                              linear_drop=0.0)
+    model = ViTClassifier(cfg)
+    assert cfg.im_size == 64
+    x = jnp.ones((2, 3, 64, 64))
+    variables = model.init(jax.random.key(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 4)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_vit_classifier_resizes_input():
+    from vit_unet_tpu.models.vit_classifier import (
+        ViTClassifier, ViTClassifierConfig)
+
+    cfg = ViTClassifierConfig(depth=1, depth_te=1, linear_list=(4,),
+                              num_patches=16, patch_size=8, hidden_dim=32,
+                              num_heads=4, attn_drop=0.0, proj_drop=0.0,
+                              linear_drop=0.0)
+    model = ViTClassifier(cfg)
+    x = jnp.ones((1, 3, 50, 50))        # != im_size -> bilinear resize
+    variables = model.init(jax.random.key(0), x)
+    assert model.apply(variables, x).shape == (1, 4)
+
+
+# -- classification loss + metrics ------------------------------------------
+
+def test_categorical_crossentropy_label_smoothing():
+    from vit_unet_tpu.train.losses import categorical_crossentropy
+
+    logits = jnp.asarray([[2.0, 0.0, -1.0], [0.5, 0.5, 0.5]])
+    target = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    # no smoothing == standard softmax CE
+    ce = categorical_crossentropy(logits, target)
+    expected = -np.mean(np.sum(np.asarray(target)
+                               * np.asarray(jax.nn.log_softmax(logits)), -1))
+    np.testing.assert_allclose(float(ce), expected, rtol=1e-6)
+    # smoothing mixes toward uniform
+    ce_s = categorical_crossentropy(logits, target, label_smoothing=0.1)
+    sm_target = target * 0.9 + 0.1 / 3
+    expected_s = -np.mean(np.sum(np.asarray(sm_target)
+                                 * np.asarray(jax.nn.log_softmax(logits)), -1))
+    np.testing.assert_allclose(float(ce_s), expected_s, rtol=1e-6)
+
+
+def test_accuracy_metric():
+    from vit_unet_tpu.train.metrics import accuracy
+
+    logits = jnp.asarray([[3.0, 0.0], [0.0, 3.0], [3.0, 0.0]])
+    target = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]])
+    np.testing.assert_allclose(float(accuracy(logits, target)), 2 / 3,
+                               rtol=1e-6)
+
+
+# -- LR schedules (TPUs_in_Colab.ipynb cell 33) ------------------------------
+
+def test_rampup_exp_decay_matches_reference_formula():
+    from vit_unet_tpu.train.schedules import rampup_exp_decay
+
+    start_lr, min_lr, base_max = 1e-5, 1e-5, 5e-5
+    replicas = 8
+    fn = rampup_exp_decay(start_lr=start_lr, max_lr=base_max, min_lr=min_lr,
+                          rampup_epochs=5, sustain_epochs=0, exp_decay=0.8,
+                          replicas=replicas)
+    max_lr = base_max * replicas
+
+    def ref(epoch):  # the notebook's lrfn, transcribed semantics
+        if epoch < 5:
+            return (max_lr - start_lr) / 5 * epoch + start_lr
+        return (max_lr - min_lr) * 0.8 ** (epoch - 5) + min_lr
+
+    for epoch in range(12):
+        np.testing.assert_allclose(fn(epoch), ref(epoch), rtol=1e-12)
+
+
+def test_lr_scheduler_callback_sets_fitter_lr():
+    from vit_unet_tpu.train.schedules import LearningRateScheduler
+
+    class FakeFitter:
+        learning_rate = 0.0
+
+    sched = LearningRateScheduler(lambda e: 0.1 * (e + 1))
+    f = FakeFitter()
+    sched.on_train_begin(f)
+    assert f.learning_rate == pytest.approx(0.1)
+    sched.on_epoch_end(f, 0, {})
+    assert f.learning_rate == pytest.approx(0.2)
+
+
+# -- profiling utilities -----------------------------------------------------
+
+def test_stage_timer_and_memory_report():
+    from vit_unet_tpu.utils.profiling import StageTimer, device_memory_report
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2 and s["b"]["count"] == 1
+    assert "a:" in t.report()
+
+    keep = jnp.ones((16, 16))          # ensure at least one live buffer
+    rep = device_memory_report(jax.devices("cpu")[0])
+    assert rep["num_buffers"] is None or rep["num_buffers"] >= 1
+    del keep
+
+
+def test_annotate_traces_under_jit():
+    from vit_unet_tpu.utils.profiling import annotate
+
+    @jax.jit
+    def f(x):
+        with annotate("stage1"):
+            return x * 2
+
+    np.testing.assert_allclose(np.asarray(f(jnp.ones(4))), 2.0)

@@ -253,6 +253,17 @@ class TFRecordWriter:
 def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
     with open(path, "rb") as f:
         data = f.read()
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE = _load_native()
+        _NATIVE_CHECKED = True
+    if _NATIVE is not None:
+        # single-pass C++ scan + CRC verify (slicing-by-8)
+        try:
+            yield from _NATIVE.read_records(data, verify_crc=verify_crc)
+            return
+        except IOError as e:
+            raise IOError(f"{e} in {path}") from None
     pos = 0
     n = len(data)
     while pos < n:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vit_unet_tpu.nn.blocks import ReAttentionEncoderBlock
+from vit_unet_tpu.nn.blocks import FourierEncoderBlock, ReAttentionEncoderBlock
 from vit_unet_tpu.nn.patch_encoder import PatchEncoder
 from vit_unet_tpu.nn.reattention import SkipConnection
 from vit_unet_tpu.ops.patches import merge_patches, split_patches, unpatchify
@@ -47,6 +47,8 @@ class ViTUNetConfig:
     # framework extensions
     qkv_kernel: int = 3              # 3 = packaged/README, 1 = notebook 512²
     ln_mode: str = "shared"          # 'shared' (README counts) | 'dual'
+    block_type: str = "reattention"  # 'reattention' | 'fourier' (FNet variant,
+                                     # FformerEncoder — ViT_UNet.ipynb cell 24)
     use_flash: bool = False          # Pallas fused attention path
     dtype: str = "float32"
     param_dtype: str = "float32"
@@ -58,6 +60,8 @@ class ViTUNetConfig:
             raise ValueError("depth too large: final patch size < 4")
         if self.im_size % self.patch_size:
             raise ValueError("patch_size must divide im_size")
+        if self.block_type not in ("reattention", "fourier"):
+            raise ValueError("block_type must be 'reattention' or 'fourier'")
 
     @property
     def num_patches(self) -> int:
@@ -89,8 +93,14 @@ class ViTUNet(nn.Module):
             patch_size=cfg.patch_size, num_channels=cfg.num_channels,
             preprocessing=cfg.preprocessing, dtype=dt, param_dtype=pdt)
 
-        def block(level: int) -> ReAttentionEncoderBlock:
+        def block(level: int):
             g = cfg.level_geometry(level)
+            if cfg.block_type == "fourier":
+                return FourierEncoderBlock(
+                    num_patches=g["num_patches"],
+                    projection_dim=g["projection_dim"],
+                    hidden_dim=g["hidden_dim"], linear_drop=cfg.linear_drop,
+                    dtype=dt, param_dtype=pdt)
             return ReAttentionEncoderBlock(
                 num_patches=g["num_patches"], projection_dim=g["projection_dim"],
                 hidden_dim=g["hidden_dim"], num_heads=cfg.num_heads,

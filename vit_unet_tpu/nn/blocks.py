@@ -69,6 +69,40 @@ class ReAttentionEncoderBlock(nn.Module):
         return x
 
 
+class FourierEncoderBlock(nn.Module):
+    """FNet-style spectral mixer block (``FformerEncoder``,
+    ``ViT_UNet.ipynb`` cell 24): the attention sublayer is replaced by
+    ``x + Re(FFT2(x))`` over the (tokens, features) plane; ONE joint
+    LayerNorm's weights are applied after both residuals, matching the
+    reference's single shared ``self.LN``.
+
+    Attention-free: O(N log N) token mixing on the VPU instead of the N²
+    score matrix — the cheap alternative at the finest hierarchy level.
+    """
+
+    num_patches: int
+    projection_dim: int
+    hidden_dim: int
+    linear_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True,
+                 use_running_average: bool = True):
+        del use_running_average  # stateless block; kept for API uniformity
+        ln = nn.LayerNorm(
+            epsilon=1e-5, reduction_axes=(-2, -1), feature_axes=(-2, -1),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="LN")
+        ff = FeedForward(
+            projection_dim=self.projection_dim, hidden_dim=self.hidden_dim,
+            dropout=self.linear_drop, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="FeedForward")
+        x = ln(x + jnp.fft.fft2(x).real.astype(x.dtype))
+        x = ln(x + ff(x, deterministic=deterministic))
+        return x
+
+
 class TFTransformerEncoder(nn.Module):
     """TF-flavour encoder: ``num_layers`` post-norm blocks with last-axis LN.
 

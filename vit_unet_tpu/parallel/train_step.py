@@ -132,10 +132,20 @@ def build_step_functions(
         def to_sharding(spec_tree):
             return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
                                 is_leaf=lambda x: isinstance(x, P))
+        param_shardings = to_sharding(partition_specs(state.params))
+        # Optimizer moments (adam m/v, …) are param-shaped: shard them like
+        # their params so TP keeps optimizer memory distributed too;
+        # non-param leaves (counts, injected hyperparams) are replicated.
+        try:
+            opt_shardings = optax.tree_map_params(
+                tx, lambda _, s: s, state.opt_state, param_shardings,
+                transform_non_params=lambda _: repl)
+        except Exception:
+            opt_shardings = jax.tree.map(lambda _: repl, state.opt_state)
         return TrainState(
             step=repl,
-            params=to_sharding(partition_specs(state.params)),
-            opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+            params=param_shardings,
+            opt_state=opt_shardings,
             batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
             rng=repl)
 

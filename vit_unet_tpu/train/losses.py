@@ -7,6 +7,7 @@ plus standard restoration extras (MAE, Charbonnier) the target tasks
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -41,12 +42,26 @@ def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(target * log_p + (1.0 - target) * log_not_p)
 
 
+def categorical_crossentropy(logits: jnp.ndarray, target: jnp.ndarray,
+                             label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Softmax cross-entropy from logits with label smoothing — the
+    classifier recipe (``TPUs_in_Colab.ipynb`` cell 27:
+    ``CategoricalCrossentropy(from_logits=True, label_smoothing=.05)``)."""
+    num_classes = logits.shape[-1]
+    if label_smoothing:
+        target = (target * (1.0 - label_smoothing)
+                  + label_smoothing / num_classes)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(target * log_probs, axis=-1))
+
+
 LOSSES = {
     "mse": mse,
     "mae": mae,
     "charbonnier": charbonnier,
     "soft_dice": soft_dice_loss,
     "bce": bce_with_logits,
+    "categorical_crossentropy": categorical_crossentropy,
 }
 
 

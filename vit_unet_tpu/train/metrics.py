@@ -79,10 +79,26 @@ def precision_recall_f1(pred: jnp.ndarray, target: jnp.ndarray,
     return {"precision": precision, "recall": recall, "f1": f1}
 
 
+def accuracy(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Categorical accuracy from logits vs one-hot targets (keras 'acc',
+    TPUs_in_Colab.ipynb cell 27)."""
+    return jnp.mean((jnp.argmax(logits, axis=-1)
+                     == jnp.argmax(target, axis=-1)).astype(jnp.float32))
+
+
+def f1(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Binary-rounded F1 over all entries (the ``f1_m`` keras metric,
+    TPUs_in_Colab.ipynb cell 26 — clips+rounds probabilities elementwise)."""
+    p = jnp.round(jnp.clip(jax.nn.softmax(logits, axis=-1), 0, 1))
+    return precision_recall_f1(p, target)["f1"]
+
+
 METRICS = {
     "psnr": psnr,
     "ssim": ssim,
     "dice": dice_score,
+    "accuracy": accuracy,
+    "f1": f1,
 }
 
 
