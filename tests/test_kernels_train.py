@@ -1,0 +1,158 @@
+"""Training-path flash re-attention: forward equivalence + custom-VJP
+gradient correctness (interpret mode on CPU).
+
+rate=0 grads are checked against ``jax.grad`` of the XLA reference; dropout
+grads are checked by directional finite differences (the in-kernel PRNG mask
+is a deterministic function of the seed, so FD is well-defined).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_unet_tpu.kernels.flash_reattention_train import flash_reattention_train
+
+
+def xla_reference(q, k, v_cat, m_eff, c_eff, num_heads):
+    """Eval-mode re-attention on the merged layout (no dropout)."""
+    b, h, n, dh = q.shape
+    v = v_cat.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    attn = jax.nn.softmax(attn, axis=-1)
+    attn = (jnp.einsum("gh,bhnm->bgnm", m_eff, attn)
+            + c_eff[None, :, None, None])
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+
+
+def _random_inputs(n, heads, dh, batch=2, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32) * 0.5
+    k = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32) * 0.5
+    v_cat = jnp.asarray(rng.normal(size=(batch, n, heads * dh)), jnp.float32)
+    m_eff = jnp.asarray(rng.normal(size=(heads, heads)), jnp.float32) * 0.3
+    c_eff = jnp.asarray(rng.normal(size=(heads,)), jnp.float32) * 0.1
+    return q, k, v_cat, m_eff, c_eff
+
+
+@pytest.mark.parametrize("n,heads,dh", [(128, 4, 8), (200, 4, 16)])
+def test_train_forward_matches_reference(n, heads, dh):
+    q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh)
+    ref = xla_reference(q, k, v_cat, m_eff, c_eff, heads)
+    out = flash_reattention_train(q, k, v_cat, m_eff, c_eff, 0,
+                                  heads, 0.0, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,heads,dh", [(128, 4, 8), (192, 2, 16)])
+def test_train_grads_match_xla(n, heads, dh):
+    q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh, seed=1)
+
+    def loss_flash(q, k, v, m, c):
+        out = flash_reattention_train(q, k, v, m, c, 0,
+                                      heads, 0.0, 128, 128, True)
+        return jnp.sum(out * jnp.cos(out))          # nontrivial cotangent
+
+    def loss_ref(q, k, v, m, c):
+        out = xla_reference(q, k, v, m, c, heads)
+        return jnp.sum(out * jnp.cos(out))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v_cat, m_eff, c_eff)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v_cat, m_eff, c_eff)
+    for name, a, b in zip("qkvmc", gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad d{name} mismatch")
+
+
+def test_flash_train_module_grads_match_xla():
+    """ReAttention(use_flash=True, flash_train=True) backward == XLA path
+    when attn_drop=0 and BN stats are at init (mean 0 / var 1)."""
+    from vit_unet_tpu.nn.reattention import ReAttention
+
+    heads, p, c = 4, 4, 3
+    dim = c * p * p
+    n, batch = 96, 2
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+
+    kw = dict(dim=dim, num_channels=c, num_heads=heads, apply_transform=True,
+              attn_drop=0.0, proj_drop=0.0)
+    ref_mod = ReAttention(use_flash=False, **kw)
+    fl_mod = ReAttention(use_flash=True, flash_train=True, **kw)
+    variables = ref_mod.init(jax.random.key(0), x)
+
+    def loss(mod, params):
+        out = mod.apply({**variables, "params": params}, x,
+                        deterministic=False, use_running_average=True,
+                        rngs={"dropout": jax.random.key(1)})
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(lambda p_: loss(ref_mod, p_))(variables["params"])
+    g_fl = jax.grad(lambda p_: loss(fl_mod, p_))(variables["params"])
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_fl))
+    assert set(flat_f) == {kp for kp, _ in flat_r}
+    for kp, ref_leaf in flat_r:
+        got = np.asarray(flat_f[kp])
+        ref_arr = np.asarray(ref_leaf)
+        np.testing.assert_allclose(
+            got, ref_arr, rtol=5e-4, atol=5e-4,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_train_dropout_deterministic_and_unbiased():
+    heads, dh, n = 4, 8, 128
+    q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh, seed=2)
+    f = functools.partial(flash_reattention_train,
+                          q, k, v_cat, m_eff, c_eff)
+    try:
+        o1 = f(7, heads, 0.3, 128, 128, True)
+    except Exception as e:  # pragma: no cover - PRNG not in interpret mode
+        pytest.skip(f"in-kernel PRNG unsupported in interpret mode: {e}")
+    o2 = f(7, heads, 0.3, 128, 128, True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = f(8, heads, 0.3, 128, 128, True)
+    assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 0
+
+    # unbiasedness: average over seeds approaches the no-dropout output
+    outs = np.stack([np.asarray(f(s, heads, 0.3, 128, 128, True))
+                     for s in range(24)])
+    ref = np.asarray(f(0, heads, 0.0, 128, 128, True))
+    scale = np.abs(ref).mean()
+    assert np.abs(outs.mean(0) - ref).mean() < 0.15 * scale
+
+
+def test_train_dropout_grads_finite_difference():
+    heads, dh, n = 2, 8, 128
+    q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh, batch=1, seed=3)
+
+    def loss(q, k, v, m, c):
+        out = flash_reattention_train(q, k, v, m, c, 11,
+                                      heads, 0.25, 128, 128, True)
+        return jnp.sum(out * out) * 0.5
+
+    try:
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            q, k, v_cat, m_eff, c_eff)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"in-kernel PRNG unsupported in interpret mode: {e}")
+
+    rng = np.random.default_rng(0)
+    args = [q, k, v_cat, m_eff, c_eff]
+    eps = 1e-2
+    for i, name in enumerate("qkvmc"):
+        u = jnp.asarray(rng.normal(size=args[i].shape), jnp.float32)
+        u = u / jnp.linalg.norm(u.ravel())
+        ap = [a if j != i else a + eps * u for j, a in enumerate(args)]
+        am = [a if j != i else a - eps * u for j, a in enumerate(args)]
+        fd = (loss(*ap) - loss(*am)) / (2 * eps)
+        an = jnp.vdot(grads[i], u)
+        np.testing.assert_allclose(
+            float(an), float(fd), rtol=2e-2, atol=2e-3,
+            err_msg=f"directional grad d{name} mismatch")

@@ -155,16 +155,15 @@ def flash_reattention(
     return out[:, :n, :]
 
 
-def fold_reattention_affine(conv_kernel, conv_bias, bn_scale, bn_bias,
-                            bn_mean, bn_var, *, eps: float = 1e-5,
-                            reatten_scale: float = 1.0,
-                            num_heads: int, dh: int):
-    """Fold the 1x1 head-mix conv + BatchNorm (eval) into (W, b) for the
-    kernel epilogue.
+def fold_reattention_compact(conv_kernel, conv_bias, bn_scale, bn_bias,
+                             bn_mean, bn_var, *, eps: float = 1e-5,
+                             reatten_scale: float = 1.0):
+    """Fold the 1x1 head-mix conv + BatchNorm (eval) into the compact
+    (H, H) affine ``m_eff`` + (H,) bias ``c_eff``:
+    attn'_h = sum_h2 m_eff[h, h2] * attn_h2 + c_eff[h].
 
     conv_kernel: (1, 1, H, H) flax layout (in=h2, out=h) or (H, H) [h, h2].
-    Returns (w, b): w (H, H*dh) with w[h2, p] = A[head_of(p)] *
-    conv[head_of(p), h2]; b (H*dh,) = A[h]*conv_bias[h] + B[h] broadcast.
+    Differentiable — gradients flow back to the conv/BN params.
     """
     ck = jnp.asarray(conv_kernel)
     if ck.ndim == 4:                     # flax conv kernel (1, 1, in, out)
@@ -175,6 +174,19 @@ def fold_reattention_affine(conv_kernel, conv_bias, bn_scale, bn_bias,
     c = (bn_bias - a * bn_mean) + a * jnp.asarray(conv_bias)
     m_eff = (a[:, None] * m) * reatten_scale          # (h, h2)
     c_eff = c * reatten_scale                          # (h,)
+    return m_eff, c_eff
+
+
+def fold_reattention_affine(conv_kernel, conv_bias, bn_scale, bn_bias,
+                            bn_mean, bn_var, *, eps: float = 1e-5,
+                            reatten_scale: float = 1.0,
+                            num_heads: int, dh: int):
+    """As ``fold_reattention_compact`` but expanded to the kernel-epilogue
+    layout: w (H, H*dh) with w[h2, p] = m_eff[head_of(p), h2];
+    b (H*dh,) = c_eff[head_of(p)]."""
+    m_eff, c_eff = fold_reattention_compact(
+        conv_kernel, conv_bias, bn_scale, bn_bias, bn_mean, bn_var,
+        eps=eps, reatten_scale=reatten_scale)
     w = jnp.repeat(m_eff.T, dh, axis=1)                # (h2, H*dh)
     b = jnp.repeat(c_eff, dh)                          # (H*dh,)
     return w, b

@@ -49,7 +49,13 @@ class ViTUNetConfig:
     ln_mode: str = "shared"          # 'shared' (README counts) | 'dual'
     block_type: str = "reattention"  # 'reattention' | 'fourier' (FNet variant,
                                      # FformerEncoder — ViT_UNet.ipynb cell 24)
-    use_flash: bool = False          # Pallas fused attention path
+    remat: bool = False              # jax.checkpoint each encoder block:
+                                     # recompute activations in backward instead
+                                     # of storing N² attention residuals in HBM
+    use_flash: bool = False          # Pallas fused attention path (eval)
+    flash_train: bool = False        # ...and in training: in-kernel attn
+                                     # dropout + frozen-BN head-mix (fast
+                                     # mode; see kernels/ docstrings)
     dtype: str = "float32"
     param_dtype: str = "float32"
 
@@ -93,21 +99,30 @@ class ViTUNet(nn.Module):
             patch_size=cfg.patch_size, num_channels=cfg.num_channels,
             preprocessing=cfg.preprocessing, dtype=dt, param_dtype=pdt)
 
+        block_cls = ReAttentionEncoderBlock
+        fourier_cls = FourierEncoderBlock
+        if cfg.remat:
+            # deterministic/use_running_average are trace-time bools ->
+            # static; only x is differentiated/recomputed.
+            block_cls = nn.remat(block_cls, static_argnums=(2, 3))
+            fourier_cls = nn.remat(fourier_cls, static_argnums=(2, 3))
+
         def block(level: int):
             g = cfg.level_geometry(level)
             if cfg.block_type == "fourier":
-                return FourierEncoderBlock(
+                return fourier_cls(
                     num_patches=g["num_patches"],
                     projection_dim=g["projection_dim"],
                     hidden_dim=g["hidden_dim"], linear_drop=cfg.linear_drop,
                     dtype=dt, param_dtype=pdt)
-            return ReAttentionEncoderBlock(
+            return block_cls(
                 num_patches=g["num_patches"], projection_dim=g["projection_dim"],
                 hidden_dim=g["hidden_dim"], num_heads=cfg.num_heads,
                 num_channels=cfg.num_channels, attn_drop=cfg.attn_drop,
                 proj_drop=cfg.proj_drop, linear_drop=cfg.linear_drop,
                 qkv_kernel=cfg.qkv_kernel, ln_mode=cfg.ln_mode,
-                use_flash=cfg.use_flash, dtype=dt, param_dtype=pdt)
+                use_flash=cfg.use_flash, flash_train=cfg.flash_train,
+                dtype=dt, param_dtype=pdt)
 
         self.Encoders = [block(lvl)
                          for lvl in range(cfg.depth)
@@ -121,7 +136,8 @@ class ViTUNet(nn.Module):
                 dim=cfg.projection_dim // 4 ** (cfg.depth - lvl - 1),
                 num_channels=cfg.num_channels, num_heads=cfg.num_heads,
                 qkv_kernel=cfg.qkv_kernel, attn_drop=cfg.attn_drop,
-                proj_drop=cfg.proj_drop, dtype=dt, param_dtype=pdt)
+                proj_drop=cfg.proj_drop, use_flash=cfg.use_flash,
+                flash_train=cfg.flash_train, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]
         if cfg.preprocessing == "conv":
             self.conv2d = nn.Conv(cfg.num_channels, (3, 3), padding="SAME",
@@ -142,14 +158,14 @@ class ViTUNet(nn.Module):
         h = self.PE(x)
         skips = []
         for i, enc in enumerate(self.Encoders):
-            h = enc(h, **kw)
+            h = enc(h, deterministic, use_running_average)
             if (i + 1) % cfg.depth_te == 0:
                 skips.append(h)
                 h = split_patches(h, cfg.num_channels)
         for bott in self.BottleNeck:
-            h = bott(h, **kw)
+            h = bott(h, deterministic, use_running_average)
         for i, dec in enumerate(self.Decoders):
-            h = dec(h, **kw)
+            h = dec(h, deterministic, use_running_average)
             if (i + 1) % cfg.depth_te == 0:
                 lvl = (i + 1) // cfg.depth_te
                 h = merge_patches(h, cfg.num_channels)

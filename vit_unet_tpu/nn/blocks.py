@@ -34,6 +34,7 @@ class ReAttentionEncoderBlock(nn.Module):
     qkv_kernel: int = 3
     ln_mode: str = "shared"  # 'shared' (notebook/README) | 'dual' (packaged)
     use_flash: bool = False
+    flash_train: bool = False
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -43,7 +44,7 @@ class ReAttentionEncoderBlock(nn.Module):
             dim=self.projection_dim, num_channels=self.num_channels,
             num_heads=self.num_heads, qkv_kernel=self.qkv_kernel,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
-            use_flash=self.use_flash,
+            use_flash=self.use_flash, flash_train=self.flash_train,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             param_dtype=self.param_dtype)
         ln = lambda name: nn.LayerNorm(
@@ -59,7 +60,7 @@ class ReAttentionEncoderBlock(nn.Module):
             dropout=self.linear_drop, dtype=self.dtype,
             param_dtype=self.param_dtype)
 
-    def __call__(self, x, *, deterministic: bool = True,
+    def __call__(self, x, deterministic: bool = True,
                  use_running_average: bool = True):
         ln1 = self.LN if self.ln_mode == "shared" else self.LN1
         ln2 = self.LN if self.ln_mode == "shared" else self.LN2
@@ -88,7 +89,7 @@ class FourierEncoderBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True,
+    def __call__(self, x, deterministic: bool = True,
                  use_running_average: bool = True):
         del use_running_average  # stateless block; kept for API uniformity
         ln = nn.LayerNorm(

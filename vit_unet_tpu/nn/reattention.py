@@ -81,6 +81,9 @@ class ReAttention(nn.Module):
     transform_scale: bool = False
     qkv_gelu: bool = False
     use_flash: bool = False  # fused Pallas re-attention (vit_unet_tpu.kernels)
+    flash_train: bool = False  # fused path in training too: in-kernel attn
+                               # dropout + frozen-BN head-mix (see
+                               # kernels/flash_reattention_train.py docstring)
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -123,36 +126,67 @@ class ReAttention(nn.Module):
         """Fused Pallas path: online-softmax re-attention, eval semantics
         (running BN stats, no attention dropout).  Numerically equivalent to
         the XLA path — tests/test_kernels.py."""
+        from vit_unet_tpu.kernels.flash_reattention import flash_reattention
+        m_eff, c_eff = self._folded_compact()
+        dh = self.dim // self.num_heads
+        w = jnp.repeat(m_eff.T, dh, axis=1)
+        b = jnp.repeat(c_eff, dh)
+        v_cat = merge_heads(v)
+        return flash_reattention(
+            (q * self.scale).astype(self.dtype), k.astype(self.dtype), v_cat,
+            w, b, num_heads=self.num_heads, interpret=self._interpret())
+
+    def _folded_compact(self):
+        """(m_eff, c_eff) from the head-mix conv + BN running stats; also
+        touches both layers so the param tree matches the XLA path."""
         from vit_unet_tpu.kernels.flash_reattention import (
-            flash_reattention, fold_reattention_affine)
-        # Touch the head-mix layers so the param tree is identical to the
-        # XLA path (flax creates submodule params lazily on first call).
+            fold_reattention_compact)
         dummy = jnp.zeros((1, 1, 1, self.num_heads), self.dtype)
         _ = self.var_norm(self.reatten_matrix(dummy), use_running_average=True)
         cp = self.reatten_matrix.variables["params"]
         bp = self.var_norm.variables["params"]
         bs = self.var_norm.variables["batch_stats"]
-        dh = self.dim // self.num_heads
-        w, b = fold_reattention_affine(
+        return fold_reattention_compact(
             cp["kernel"], cp["bias"], bp["scale"], bp["bias"],
             bs["mean"], bs["var"], eps=1e-5,
-            reatten_scale=self.scale if self.transform_scale else 1.0,
-            num_heads=self.num_heads, dh=dh)
-        batch, _, n, _ = q.shape
-        v_cat = merge_heads(v)
+            reatten_scale=self.scale if self.transform_scale else 1.0)
+
+    @staticmethod
+    def _interpret() -> bool:
         # Interpret off-TPU (tests/CPU); the installed TPU plugin ignores
         # JAX_PLATFORMS so the *default device* is the execution authority.
         dev = jax.config.jax_default_device
         platform = dev.platform if dev is not None else jax.default_backend()
-        interp = platform != "tpu"
-        return flash_reattention(
-            (q * self.scale).astype(self.dtype), k.astype(self.dtype), v_cat,
-            w, b, num_heads=self.num_heads, interpret=interp)
+        return platform != "tpu"
+
+    def _attend_flash_train(self, q, k, v):
+        """Training-path fused kernel: in-kernel attention dropout +
+        frozen-BN head-mix, custom VJP (no N² HBM residuals)."""
+        from vit_unet_tpu.kernels.flash_reattention_train import (
+            flash_reattention_train)
+        m_eff, c_eff = self._folded_compact()
+        v_cat = merge_heads(v)
+        interp = self._interpret()
+        # in-kernel PRNG is TPU-only: interpret mode runs dropout-free
+        rate = 0.0 if interp else float(self.attn_drop)
+        if rate > 0.0 and self.has_rng("dropout"):
+            seed = jax.random.randint(self.make_rng("dropout"), (),
+                                      0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((), jnp.int32)
+        return flash_reattention_train(
+            (q * self.scale).astype(self.dtype), k.astype(self.dtype),
+            v_cat, m_eff, c_eff, seed, self.num_heads, rate,
+            128, 128, interp)
 
     def _attend(self, q, k, v, *, deterministic, use_running_average):
         if (self.use_flash and self.apply_transform and deterministic
                 and use_running_average and not self.is_initializing()):
             return self._attend_flash(q, k, v)
+        if (self.use_flash and self.flash_train and self.apply_transform
+                and not deterministic and not self.is_initializing()):
+            return self._attend_flash_train(q, k, v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=self.dtype) * self.scale
         attn = jax.nn.softmax(attn, axis=-1)
@@ -192,6 +226,8 @@ class SkipConnection(nn.Module):
     proj_drop: float = 0.0
     transform_scale: bool = False
     qkv_gelu: bool = False
+    use_flash: bool = False
+    flash_train: bool = False
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -205,6 +241,7 @@ class SkipConnection(nn.Module):
             qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
             proj_drop=self.proj_drop, apply_transform=True,
             transform_scale=self.transform_scale, qkv_gelu=self.qkv_gelu,
+            use_flash=self.use_flash, flash_train=self.flash_train,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attn")
         qh, kh, vh = inner._qkv(q, k, v)
