@@ -45,3 +45,32 @@ def test_run_denoising_cli_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(result["psnr_mean"])
     # best checkpoint written and JSONL log populated
     assert os.path.exists(tmp_path / "log.jsonl")
+
+
+def test_run_classification_cli_end_to_end(tmp_path, monkeypatch):
+    from vit_unet_tpu.cli.run_classification import main
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "imgs"
+    for cname in ("cats", "dogs"):
+        os.makedirs(root / cname)
+        for i in range(6):
+            img = rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / cname / f"{i}.png"), img)
+    monkeypatch.chdir(tmp_path)
+
+    result = main([
+        "--input_folder", str(root),
+        "--n_epochs", "1",
+        "--batch_size", "4",
+        "--im_size", "32",
+        "--patch_size", "8",
+        "--depth", "1",
+        "--depth_te", "1",
+        "--hidden_dim", "32",
+        "--num_heads", "4",
+        "--num_workers", "0",
+        "--checkpoint_dir", str(tmp_path / "models"),
+    ])
+    assert "val_accuracy" in result
+    assert 0.0 <= result["val_accuracy"] <= 1.0

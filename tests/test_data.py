@@ -124,3 +124,32 @@ def test_kfold_split():
         assert not set(train) & set(val)
     all_val = np.concatenate([v for _, v in folds])
     assert sorted(all_val.tolist()) == list(range(50))
+
+
+def test_tfdata_pipeline_roundtrip(tmp_path):
+    """tf.data streaming path parses our own TFRecord shards identically to
+    the in-memory reader (ViT_UNet_TF_TPU.ipynb cell 16 semantics)."""
+    pytest.importorskip("tensorflow")
+    from vit_unet_tpu.data.loader import tfdata_pipeline
+    from vit_unet_tpu.data.tfrecord import TFRecordWriter
+
+    rng = np.random.default_rng(0)
+    shape = (8, 8, 3)
+    path = str(tmp_path / "pairs-4.tfrec")
+    imgs = []
+    with TFRecordWriter(path) as w:
+        for _ in range(4):
+            x = rng.integers(0, 255, size=shape, dtype=np.uint8)
+            y = rng.integers(0, 255, size=shape, dtype=np.uint8)
+            imgs.append((x, y))
+            w.write_example({"x": x.tobytes(), "y": y.tobytes()})
+
+    batches = list(tfdata_pipeline([path], shape, batch_size=2))
+    assert len(batches) == 2
+    assert batches[0]["x"].shape == (2, 3, 8, 8)
+    np.testing.assert_allclose(
+        batches[0]["x"][0],
+        imgs[0][0].astype(np.float32).transpose(2, 0, 1) / 255.0)
+    np.testing.assert_allclose(
+        batches[1]["y"][1],
+        imgs[3][1].astype(np.float32).transpose(2, 0, 1) / 255.0)

@@ -157,6 +157,65 @@ class SegmentationDataset:
         return {"x": x.astype(np.float32), "y": y.astype(np.float32)}
 
 
+class ClassificationDataset:
+    """Image-classification pairs from a class-subdirectory tree
+    (``root/<class_name>/*.jpg|png``) — the layout the reference converts to
+    TFRecords for its TPU classification pipeline (``TPUs_in_Colab.ipynb``
+    cells 12-19).  Yields {'x': (C, H, W) float, 'y': one-hot (num_classes,)}.
+    """
+
+    EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+    def __init__(self, paths: Sequence[str], labels: Sequence[int],
+                 num_classes: int, im_size: int = 224, transforms=None,
+                 channels_first: bool = True, seed: int = 0):
+        if len(paths) != len(labels):
+            raise ValueError("paths/labels length mismatch")
+        self.paths = list(paths)
+        self.labels = list(labels)
+        self.num_classes = num_classes
+        self.im_size = im_size
+        self.transforms = transforms
+        self.channels_first = channels_first
+        self.rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_folder(cls, root: str, im_size: int = 224, transforms=None,
+                    indices: Optional[Sequence[int]] = None, **kw):
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        if not classes:
+            raise ValueError(f"no class subdirectories under {root!r}")
+        paths, labels = [], []
+        for ci, cname in enumerate(classes):
+            for p in sorted(glob.glob(os.path.join(root, cname, "*"))):
+                if p.lower().endswith(cls.EXTS):
+                    paths.append(p)
+                    labels.append(ci)
+        if indices is not None:
+            paths = [paths[i] for i in indices]
+            labels = [labels[i] for i in indices]
+        ds = cls(paths, labels, num_classes=len(classes), im_size=im_size,
+                 transforms=transforms, **kw)
+        ds.class_names = classes
+        return ds
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        img = _imread_rgb(self.paths[idx])
+        img = cv2.resize(img, (self.im_size, self.im_size))
+        if self.transforms is not None:
+            img, _ = self.transforms(self.rng, img, None)
+        x = img.astype(np.float32) / 255.0
+        if self.channels_first:
+            x = x.transpose(2, 0, 1)
+        y = np.zeros(self.num_classes, np.float32)
+        y[self.labels[idx]] = 1.0
+        return {"x": x, "y": y}
+
+
 def kfold_split(n: int, n_folds: int = 5, seed: int = 42):
     """Yield (train_idx, val_idx) per fold — KFold(5, shuffle, random_state=42)
     protocol of run_denoising.py:43."""

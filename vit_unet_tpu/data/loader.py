@@ -118,6 +118,70 @@ def tfrecord_dataset(paths: Sequence[str], shape: tuple, dtype=np.uint8,
     return _InMemory()
 
 
+def tfdata_pipeline(
+    filenames: Sequence[str],
+    shape: tuple,
+    batch_size: int = 32,
+    shuffle: bool = False,
+    repeat: bool = False,
+    drop_remainder: bool = True,
+    replicas: int = 1,
+    dtype: str = "uint8",
+    normalize: bool = True,
+    channels_first: bool = True,
+    cache: bool = True,
+) -> Iterator[dict]:
+    """Stream TFRecord shards through ``tf.data`` — including ``gs://`` paths
+    (the reference's GCS-backed TPU recipe, ``TPUs_in_Colab.ipynb`` cell 21).
+
+    Reproduces ``load_dataset`` (``ViT_UNet_TF_TPU.ipynb`` cell 16):
+    TFRecordDataset(parallel reads) -> cache -> repeat -> shuffle(1024 x
+    replicas, nondeterministic) -> parse {x, y} raw bytes -> batch
+    (drop_remainder for static TPU shapes) -> prefetch(AUTOTUNE); yields
+    numpy {'x', 'y'} batches for the jitted step.  TensorFlow is an optional
+    dependency of this one function; everything else in the package runs
+    without it.
+    """
+    import tensorflow as tf  # optional, gated to this streaming path
+
+    tf.config.set_visible_devices([], "GPU")
+    auto = tf.data.AUTOTUNE
+    h, w, c = shape
+    tf_dtype = getattr(tf, dtype)
+
+    def parse(example):
+        feats = tf.io.parse_single_example(example, {
+            "x": tf.io.FixedLenFeature([], tf.string),
+            "y": tf.io.FixedLenFeature([], tf.string),
+        })
+        x = tf.reshape(tf.io.decode_raw(feats["x"], tf_dtype), (h, w, c))
+        y = tf.reshape(tf.io.decode_raw(feats["y"], tf_dtype), (h, w, c))
+        x = tf.cast(x, tf.float32)
+        y = tf.cast(y, tf.float32)
+        if normalize:
+            x, y = x / 255.0, y / 255.0
+        if channels_first:
+            x = tf.transpose(x, (2, 0, 1))
+            y = tf.transpose(y, (2, 0, 1))
+        return {"x": x, "y": y}
+
+    ds = tf.data.TFRecordDataset(list(filenames), num_parallel_reads=auto)
+    if cache:
+        ds = ds.cache()
+    if repeat:
+        ds = ds.repeat()
+    if shuffle:
+        ds = ds.shuffle(1024 * replicas)
+        opt = tf.data.Options()
+        opt.deterministic = False   # disable order, increase speed (cell 16)
+        ds = ds.with_options(opt)
+    ds = ds.map(parse, num_parallel_calls=auto)
+    ds = ds.batch(batch_size, drop_remainder=drop_remainder)
+    ds = ds.prefetch(auto)
+    for batch in ds.as_numpy_iterator():
+        yield batch
+
+
 def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
                        sharding=None) -> Iterator[dict]:
     """Move batches to device (optionally with a batch sharding) ahead of the
