@@ -120,3 +120,67 @@ def test_fitter_lr_setter(tmp_path):
     assert fitter.learning_rate == pytest.approx(1e-5)
     # training still works after LR mutation
     fitter.fit(lambda: iter(dl), n_epochs=1, verbose=False)
+
+
+def test_fitter_preemption_resume(tmp_path):
+    """save_last + resume(): full-state periodic checkpoint restores params,
+    optimizer state, step, best metric, and the epoch to continue from."""
+    ds = SyntheticDenoise()
+    fitter = small_fitter(tmp_path)
+    dl = batches(ds)
+    fitter.fit(lambda: iter(dl), lambda: iter(dl), n_epochs=2,
+               save_last=True, verbose=False)
+    step_after_2 = int(fitter.state.step)
+    best_after_2 = fitter.best
+    assert os.path.isdir(os.path.join(str(tmp_path), "last-checkpoint"))
+
+    # simulate preemption: fresh fitter, same checkpoint_dir
+    fitter2 = small_fitter(tmp_path)
+    fitter2.init_state(next(iter(batches(ds))))
+    start_epoch = fitter2.resume()
+    assert start_epoch == 2
+    assert int(fitter2.state.step) == step_after_2
+    assert fitter2.best == pytest.approx(best_after_2)
+    p1 = jax.tree.leaves(fitter.state.params)[0]
+    p2 = jax.tree.leaves(fitter2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+    # continue training from epoch 2
+    hist = fitter2.fit(lambda: iter(dl), lambda: iter(dl), n_epochs=3,
+                       save_last=True, initial_epoch=start_epoch,
+                       verbose=False)
+    assert int(fitter2.state.step) > step_after_2
+
+    # resume with no checkpoint returns epoch 0
+    fitter3 = small_fitter(tmp_path / "empty")
+    fitter3.init_state(next(iter(batches(ds))))
+    assert fitter3.resume() == 0
+
+
+def test_predictor_and_export_roundtrip(tmp_path):
+    """Serving: Predictor micro-batching + StableHLO export/load parity."""
+    from vit_unet_tpu.serving import (Predictor, export_predictor,
+                                      load_predictor)
+
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, num_channels=3, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0, linear_drop=0.0))
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 3, 32, 32)))
+    x = np.random.default_rng(0).normal(size=(5, 3, 32, 32)).astype(np.float32)
+
+    pred = Predictor(model, variables, batch_size=2)
+    out = pred(x)                     # 5 samples -> 3 compiled micro-batches
+    assert out.shape == (5, 3, 32, 32)
+    ref = np.asarray(model.apply(variables, jnp.asarray(x),
+                                 deterministic=True,
+                                 use_running_average=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    single = pred(x[0])               # unbatched input round-trips
+    np.testing.assert_allclose(single, ref[0], rtol=2e-5, atol=2e-5)
+
+    path = str(tmp_path / "exported")
+    export_predictor(model, variables, path, batch_size=2)
+    fn = load_predictor(path)
+    out2 = np.asarray(fn(x[:2]))
+    np.testing.assert_allclose(out2, ref[:2], rtol=2e-5, atol=2e-5)

@@ -123,7 +123,8 @@ class Fitter:
     def _ckpt_path(self, name: str) -> str:
         return os.path.abspath(os.path.join(self.checkpoint_dir, name))
 
-    def save(self, name: str = "best-checkpoint") -> str:
+    def save(self, name: str = "best-checkpoint",
+             extra: Optional[dict] = None) -> str:
         import orbax.checkpoint as ocp
 
         path = self._ckpt_path(name)
@@ -133,11 +134,14 @@ class Fitter:
                    "batch_stats": self.state.batch_stats,
                    "step": self.state.step,
                    "rng": jax.random.key_data(self.state.rng)}
+        if extra:
+            payload["extra"] = extra
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
         return path
 
-    def load(self, name: str = "best-checkpoint") -> TrainState:
+    def load(self, name: str = "best-checkpoint",
+             with_extra: bool = False):
         import orbax.checkpoint as ocp
 
         path = self._ckpt_path(name)
@@ -147,12 +151,39 @@ class Fitter:
                     "batch_stats": self.state.batch_stats,
                     "step": self.state.step,
                     "rng": jax.random.key_data(self.state.rng)}
-        restored = ckptr.restore(path, template)
+        if with_extra:
+            template = dict(template, extra={"epoch": 0, "best": 0.0})
+        try:
+            restored = ckptr.restore(path, template)
+        except Exception:
+            if not with_extra:
+                raise
+            template.pop("extra")            # checkpoint predates 'extra'
+            restored = ckptr.restore(path, template)
         self.state = self.state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             batch_stats=restored["batch_stats"], step=restored["step"],
             rng=jax.random.wrap_key_data(restored["rng"]))
+        if with_extra:
+            return self.state, restored.get("extra")
         return self.state
+
+    # -- preemption-safe resume (SURVEY.md §5: the reference has none) ------
+
+    def resume(self, name: str = "last-checkpoint") -> int:
+        """Restore full training state from a periodic checkpoint and return
+        the epoch to continue from (0 if no checkpoint exists).  Together
+        with ``fit(..., save_last=True, initial_epoch=...)`` this gives
+        preemption-safe training — the elastic-recovery capability the
+        reference lacks entirely (its best-only ``.h5``/``.bin`` checkpoints
+        carry no optimizer state or epoch counter)."""
+        if not os.path.isdir(self._ckpt_path(name)):
+            return 0
+        _, extra = self.load(name, with_extra=True)
+        if extra:
+            self.best = float(extra.get("best", self.best))
+            return int(extra.get("epoch", 0)) + 1
+        return 0
 
     # -- training loop ------------------------------------------------------
 
@@ -184,10 +215,16 @@ class Fitter:
         validation_steps: Optional[int] = None,
         callbacks: Sequence[Callback] = (),
         save_best: bool = True,
+        save_last: bool = False,
+        initial_epoch: int = 0,
         verbose: bool = True,
     ) -> dict:
         """train_data: an iterable (or callable returning an iterable) of
-        {'x': ..., 'y': ...} batches.  Returns the history dict."""
+        {'x': ..., 'y': ...} batches.  Returns the history dict.
+
+        ``save_last=True`` writes a full-state 'last-checkpoint' every epoch;
+        pair with ``initial_epoch=fitter.resume()`` for preemption-safe
+        restarts."""
         if self.state is None:
             probe = train_data() if callable(train_data) else train_data
             first = next(iter(probe))
@@ -196,7 +233,7 @@ class Fitter:
         for cb in callbacks:
             cb.on_train_begin(self)
 
-        for epoch in range(n_epochs):
+        for epoch in range(initial_epoch, n_epochs):
             t0 = time.time()
             agg: dict[str, list] = {}
             data = train_data() if callable(train_data) else train_data
@@ -221,6 +258,9 @@ class Fitter:
                 self.best = monitored
                 self.save()
                 logs["checkpoint_saved"] = True
+            if save_last:
+                self.save("last-checkpoint",
+                          extra={"epoch": epoch, "best": float(self.best)})
 
             for k, v in logs.items():
                 self.history.setdefault(k, []).append(v)
