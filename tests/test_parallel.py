@@ -85,3 +85,45 @@ def test_train_step_no_mesh():
     batch = {"x": jnp.ones((2, 3, 64, 64)), "y": jnp.ones((2, 3, 64, 64))}
     state, m = steps.train_step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sequence_parallel_reattention_matches_reference():
+    """Gather-based SP over the token axis == unsharded re-attention."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from vit_unet_tpu.parallel.sequence import sequence_parallel_reattention
+
+    from tests.conftest import cpu_devices
+    devices = np.asarray(cpu_devices(8)).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+
+    b, h, n, dh = 2, 4, 64, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, n, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, dh)), jnp.float32)
+    m_eff = jnp.asarray(rng.normal(size=(h, h)), jnp.float32) * 0.3
+    c_eff = jnp.asarray(rng.normal(size=(h,)), jnp.float32) * 0.1
+
+    out = sequence_parallel_reattention(q, k, v, m_eff, c_eff, mesh)
+
+    attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k), axis=-1)
+    attn = jnp.einsum("gh,bhnm->bgnm", m_eff, attn) + c_eff[None, :, None, None]
+    ref = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # indivisible token count raises
+    with pytest.raises(ValueError):
+        sequence_parallel_reattention(q[:, :, :30], k[:, :, :30],
+                                      v[:, :, :30], m_eff, c_eff, mesh)
+
+
+def test_create_hybrid_mesh_single_slice_fallback():
+    from vit_unet_tpu.parallel.mesh import create_hybrid_mesh
+
+    from tests.conftest import cpu_devices
+    mesh = create_hybrid_mesh(model_parallel=2, devices=cpu_devices(8))
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2

@@ -190,12 +190,23 @@ class ReAttention(nn.Module):
             v_cat, m_eff, c_eff, seed, self.num_heads, rate,
             blk, blk, interp)
 
+    @property
+    def _flash_ok(self) -> bool:
+        """Flash kernels pay off at the fine hierarchy levels (many tokens,
+        small per-head dim).  Wide-head levels (dh > 128, i.e. the coarse
+        level of the 3072-proj configs) are matmul-bound with few tokens —
+        XLA handles them well, and Mosaic miscompiles multi-tile grids at
+        such dh — so they stay on the XLA path."""
+        return self.dim // self.num_heads <= 128
+
     def _attend(self, q, k, v, *, deterministic, use_running_average):
-        if (self.use_flash and self.apply_transform and deterministic
-                and use_running_average and not self.is_initializing()):
+        if (self.use_flash and self._flash_ok and self.apply_transform
+                and deterministic and use_running_average
+                and not self.is_initializing()):
             return self._attend_flash(q, k, v)
-        if (self.use_flash and self.flash_train and self.apply_transform
-                and not deterministic and not self.is_initializing()):
+        if (self.use_flash and self.flash_train and self._flash_ok
+                and self.apply_transform and not deterministic
+                and not self.is_initializing()):
             return self._attend_flash_train(q, k, v)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=self.dtype) * self.scale

@@ -19,8 +19,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["initialize_distributed", "create_mesh", "data_sharding",
-           "replicated", "local_device_count", "replica_count"]
+__all__ = ["initialize_distributed", "create_mesh", "create_hybrid_mesh",
+           "data_sharding", "replicated", "local_device_count",
+           "replica_count"]
 
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
@@ -50,6 +51,33 @@ def create_mesh(model_parallel: int = 1,
     if n % model_parallel:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def create_hybrid_mesh(model_parallel: int = 1,
+                       devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """('data', 'model') mesh that is DCN-topology-aware for multi-slice
+    TPU pods: data parallelism spans slices (gradient all-reduce rides DCN
+    between slices, ICI within), model parallelism stays inside a slice
+    (its collectives are per-layer and must ride ICI).  Falls back to
+    ``create_mesh`` on a single slice / non-TPU backends.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    num_slices = len(slice_ids)
+    if num_slices <= 1:
+        return create_mesh(model_parallel, devices)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // num_slices
+    if per_slice % model_parallel:
+        raise ValueError(
+            f"{per_slice} devices/slice not divisible by "
+            f"model_parallel={model_parallel}")
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // model_parallel, model_parallel),
+        dcn_mesh_shape=(num_slices, 1),
+        devices=devices)
     return Mesh(grid, axis_names=("data", "model"))
 
 
