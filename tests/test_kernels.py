@@ -76,7 +76,7 @@ def test_fold_affine_matches_conv_bn():
     ref_attn = a.transpose(0, 3, 1, 2)                  # (B, H, N, M)
 
     w, b = fold_reattention_affine(ck, cb, scale, bias, mean, var,
-                                   eps=eps, num_heads=heads, dh=dh)
+                                   eps=eps, dh=dh)
     m_eff = w[:, ::dh].T                                # (h, h2)
     c_eff = b[::dh]
     got = jnp.einsum("gh,bhnm->bgnm", m_eff, attn) + c_eff[None, :, None, None]
@@ -117,7 +117,7 @@ def test_flash_via_module_params():
     w, b = fold_reattention_affine(
         p["reatten_matrix"]["kernel"], p["reatten_matrix"]["bias"],
         p["var_norm"]["scale"], p["var_norm"]["bias"],
-        bs["mean"], bs["var"], eps=1e-5, num_heads=heads, dh=dh)
+        bs["mean"], bs["var"], eps=1e-5, dh=dh)
     scale = mod.scale
     v_cat = v.transpose(0, 2, 1, 3).reshape(batch, n, dim)
     out = flash_reattention(q * scale, k, v_cat, w, b, num_heads=heads,

@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss", type=str, default="mse")
     p.add_argument("--dtype", type=str, default="float32",
                    help="compute dtype, e.g. bfloat16 for TPU throughput")
+    p.add_argument("--flash", action="store_true",
+                   help="fused Pallas re-attention kernels (eval + training)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--log_jsonl", type=str, default=None)
@@ -83,7 +85,8 @@ def main(argv=None) -> dict:
                             num_workers=args.num_workers)
 
         model = get_vit_unet(args.model_string, im_size=args.im_size,
-                             dtype=args.dtype)
+                             dtype=args.dtype, use_flash=args.flash,
+                             flash_train=args.flash)
         fitter = Fitter(model, learning_rate=args.lr, optimizer="adamw",
                         loss=args.loss, metrics=("psnr", "ssim"), mesh=mesh,
                         scale_lr_by_replicas=args.data_parallel,

@@ -1,0 +1,5 @@
+from vit_unet_tpu.kernels.flash_reattention import (
+    expand_reattention_affine, flash_reattention, fold_reattention_affine,
+    fold_reattention_compact,
+)
+from vit_unet_tpu.kernels.flash_reattention_train import flash_reattention_train

@@ -177,16 +177,20 @@ def fold_reattention_compact(conv_kernel, conv_bias, bn_scale, bn_bias,
     return m_eff, c_eff
 
 
-def fold_reattention_affine(conv_kernel, conv_bias, bn_scale, bn_bias,
-                            bn_mean, bn_var, *, eps: float = 1e-5,
-                            reatten_scale: float = 1.0,
-                            num_heads: int, dh: int):
-    """As ``fold_reattention_compact`` but expanded to the kernel-epilogue
-    layout: w (H, H*dh) with w[h2, p] = m_eff[head_of(p), h2];
+def expand_reattention_affine(m_eff, c_eff, *, dh: int):
+    """Expand the compact (H, H)/(H,) affine to the kernel-epilogue layout:
+    w (H, H*dh) with w[h2, p] = m_eff[head_of(p), h2];
     b (H*dh,) = c_eff[head_of(p)]."""
-    m_eff, c_eff = fold_reattention_compact(
-        conv_kernel, conv_bias, bn_scale, bn_bias, bn_mean, bn_var,
-        eps=eps, reatten_scale=reatten_scale)
     w = jnp.repeat(m_eff.T, dh, axis=1)                # (h2, H*dh)
     b = jnp.repeat(c_eff, dh)                          # (H*dh,)
     return w, b
+
+
+def fold_reattention_affine(conv_kernel, conv_bias, bn_scale, bn_bias,
+                            bn_mean, bn_var, *, eps: float = 1e-5,
+                            reatten_scale: float = 1.0, dh: int):
+    """``fold_reattention_compact`` + ``expand_reattention_affine``."""
+    m_eff, c_eff = fold_reattention_compact(
+        conv_kernel, conv_bias, bn_scale, bn_bias, bn_mean, bn_var,
+        eps=eps, reatten_scale=reatten_scale)
+    return expand_reattention_affine(m_eff, c_eff, dh=dh)

@@ -54,8 +54,12 @@ def _dropout_mask(seed_ref, rate: float, bi, h, qi, ki, nq: int, nk: int,
     returns an array of {0, 1/keep} to multiply probabilities with."""
     idx = ((bi * num_heads + h) * nq + qi) * nk + ki
     pltpu.prng_seed(seed_ref[0] + idx)
-    bits = pltpu.prng_random_bits(shape)                 # uint32
-    u = (bits >> 8).astype(jnp.float32) * _INV_2_24      # [0, 1)
+    # prng_random_bits yields *int32*; a logical (not arithmetic) shift is
+    # required, else half the lattice lands negative and the keep rate
+    # collapses to max(0, 0.5-rate) (caught by keep-rate stats tests).
+    bits = pltpu.prng_random_bits(shape)
+    bits24 = jax.lax.shift_right_logical(bits, 8)        # [0, 2^24)
+    u = bits24.astype(jnp.float32) * _INV_2_24           # [0, 1)
     keep = u >= rate
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
 
@@ -531,7 +535,7 @@ def flash_reattention_train(q, k, v_cat, m_eff, c_eff, seed,
     """Training-path fused re-attention with dropout + custom VJP.
 
     q, k: (B, H, N, dh), q pre-scaled; v_cat: (B, N, H*dh);
-    m_eff: (H, H) head-mix affine (``fold_reattention_affine``);
+    m_eff: (H, H) head-mix affine (``fold_reattention_compact``);
     c_eff: (H,) bias; seed: int32 scalar for the in-kernel dropout PRNG.
     Returns (B, N, H*dh).
     """

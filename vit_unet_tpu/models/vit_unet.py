@@ -52,6 +52,10 @@ class ViTUNetConfig:
     remat: bool = False              # jax.checkpoint each encoder block:
                                      # recompute activations in backward instead
                                      # of storing N² attention residuals in HBM
+    out_channels: Optional[int] = None  # output channels (default: input C);
+                                     # e.g. 1 for segmentation masks — the
+                                     # README's soft-Dice task (README.md:89-102)
+                                     # that the reference never wired up
     use_flash: bool = False          # Pallas fused attention path (eval)
     flash_train: bool = False        # ...and in training: in-kernel attn
                                      # dropout + frozen-BN head-mix (fast
@@ -139,8 +143,9 @@ class ViTUNet(nn.Module):
                 proj_drop=cfg.proj_drop, use_flash=cfg.use_flash,
                 flash_train=cfg.flash_train, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]
-        if cfg.preprocessing == "conv":
-            self.conv2d = nn.Conv(cfg.num_channels, (3, 3), padding="SAME",
+        out_ch = cfg.out_channels or cfg.num_channels
+        if cfg.preprocessing == "conv" or out_ch != cfg.num_channels:
+            self.conv2d = nn.Conv(out_ch, (3, 3), padding="SAME",
                                   dtype=dt, param_dtype=pdt)
 
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
@@ -175,7 +180,8 @@ class ViTUNet(nn.Module):
                     skips[cfg.depth - lvl], h, h, **kw)
 
         out = unpatchify(h, cfg.num_channels)
-        if cfg.preprocessing == "conv":
+        out_ch = cfg.out_channels or cfg.num_channels
+        if cfg.preprocessing == "conv" or out_ch != cfg.num_channels:
             out = self.conv2d(out.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         elif cfg.preprocessing == "fourier":
             # reference quirk (torch/model.py:429-430): ifft2 of the *input*

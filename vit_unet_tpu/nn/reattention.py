@@ -126,11 +126,11 @@ class ReAttention(nn.Module):
         """Fused Pallas path: online-softmax re-attention, eval semantics
         (running BN stats, no attention dropout).  Numerically equivalent to
         the XLA path — tests/test_kernels.py."""
-        from vit_unet_tpu.kernels.flash_reattention import flash_reattention
+        from vit_unet_tpu.kernels.flash_reattention import (
+            expand_reattention_affine, flash_reattention)
         m_eff, c_eff = self._folded_compact()
-        dh = self.dim // self.num_heads
-        w = jnp.repeat(m_eff.T, dh, axis=1)
-        b = jnp.repeat(c_eff, dh)
+        w, b = expand_reattention_affine(m_eff, c_eff,
+                                         dh=self.dim // self.num_heads)
         v_cat = merge_heads(v)
         blk = self._flash_block(q.shape[2])
         return flash_reattention(
@@ -178,7 +178,14 @@ class ReAttention(nn.Module):
         interp = self._interpret()
         # in-kernel PRNG is TPU-only: interpret mode runs dropout-free
         rate = 0.0 if interp else float(self.attn_drop)
-        if rate > 0.0 and self.has_rng("dropout"):
+        if rate > 0.0:
+            if not self.has_rng("dropout"):
+                # match flax nn.Dropout's contract: dropout without an rng
+                # stream is an error, not a silent fixed mask
+                raise ValueError(
+                    "flash_train attention dropout needs an rng: pass "
+                    "rngs={'dropout': key} to apply() (attn_drop="
+                    f"{self.attn_drop})")
             seed = jax.random.randint(self.make_rng("dropout"), (),
                                       0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)

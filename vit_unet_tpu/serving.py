@@ -9,16 +9,69 @@ inside TF (``TPUs_in_Colab.ipynb`` cell 42).  The TPU-native equivalents:
 * ``export_predictor`` / ``load_predictor`` — serialize the *compiled
   computation* (StableHLO via ``jax.export``) together with the params
   (orbax), so a serving process can run the model without the model code —
-  the stronger analogue of a ``.h5`` full-model save.
+  the stronger analogue of a ``.h5`` full-model save.  The loaded function
+  micro-batches/pads exactly like ``Predictor``.
 """
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _eval_fn(model) -> Callable:
+    """The one eval-mode apply used by both Predictor and export."""
+    def fwd(variables, x):
+        return model.apply(variables, x, deterministic=True,
+                           use_running_average=True)
+    return fwd
+
+
+def _infer_input_shape(model) -> tuple:
+    """Per-sample input shape from the model config: channels-first
+    (C, H, W) for ViTUNet/ViTClassifier (``im_size``), channels-last
+    (H, W, C) for the TF-orientation family (``img_size``)."""
+    cfg = getattr(model, "config", None)
+    if cfg is None:
+        raise ValueError("input_shape required for config-less models")
+    ch = getattr(cfg, "num_channels", 3)
+    if hasattr(cfg, "im_size"):
+        return (ch, cfg.im_size, cfg.im_size)          # NCHW family
+    if hasattr(cfg, "img_size"):
+        return (cfg.img_size, cfg.img_size, ch)        # NHWC (TF flavour)
+    raise ValueError(f"cannot infer input shape from {type(cfg).__name__}; "
+                     "pass input_shape explicitly")
+
+
+def _micro_batched(fn: Callable, batch_size: int,
+                   sample_ndim: int) -> Callable[[np.ndarray], np.ndarray]:
+    """Wrap a fixed-batch fn into one accepting any leading batch (padding
+    the last chunk) or a single unbatched sample."""
+    def call(x) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        squeeze = x.ndim == sample_ndim
+        if squeeze:
+            x = x[None]
+        n = x.shape[0]
+        if n == 0:
+            probe = np.zeros((batch_size, *x.shape[1:]), x.dtype)
+            out = np.asarray(fn(jnp.asarray(probe)))
+            return out[:0]
+        outs = []
+        for i in range(0, n, batch_size):
+            chunk = x[i:i + batch_size]
+            pad = batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
+            out = np.asarray(fn(jnp.asarray(chunk)))
+            outs.append(out[:batch_size - pad] if pad else out)
+        result = np.concatenate(outs, axis=0)
+        return result[0] if squeeze else result
+    return call
 
 
 class Predictor:
@@ -33,38 +86,15 @@ class Predictor:
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
-        cfg = getattr(model, "config", None)
-        if input_shape is None:
-            if cfg is None:
-                raise ValueError("input_shape required for config-less models")
-            input_shape = (getattr(cfg, "num_channels", 3),
-                           cfg.im_size, cfg.im_size)
-        self.input_shape = tuple(input_shape)
-
-        def fwd(variables, x):
-            return model.apply(variables, x, deterministic=True,
-                               use_running_average=True)
-
-        self._fn = jax.jit(fwd)
+        self.input_shape = tuple(input_shape if input_shape is not None
+                                 else _infer_input_shape(model))
+        fwd = jax.jit(_eval_fn(model))
+        self._call = _micro_batched(
+            lambda x: fwd(self.variables, x), batch_size,
+            sample_ndim=len(self.input_shape))
 
     def __call__(self, x) -> np.ndarray:
-        x = np.asarray(x, np.float32)
-        squeeze = x.ndim == len(self.input_shape)
-        if squeeze:
-            x = x[None]
-        n = x.shape[0]
-        outs = []
-        bs = self.batch_size
-        for i in range(0, n, bs):
-            chunk = x[i:i + bs]
-            pad = bs - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)])
-            out = np.asarray(self._fn(self.variables, jnp.asarray(chunk)))
-            outs.append(out[:bs - pad] if pad else out)
-        result = np.concatenate(outs, axis=0)
-        return result[0] if squeeze else result
+        return self._call(x)
 
 
 def export_predictor(model, variables: dict, path: str,
@@ -80,20 +110,14 @@ def export_predictor(model, variables: dict, path: str,
     import orbax.checkpoint as ocp
     from jax import export as jexport
 
-    cfg = getattr(model, "config", None)
     if input_shape is None:
-        input_shape = (getattr(cfg, "num_channels", 3),
-                       cfg.im_size, cfg.im_size)
-
-    def fwd(variables, x):
-        return model.apply(variables, x, deterministic=True,
-                           use_running_average=True)
+        input_shape = _infer_input_shape(model)
 
     spec_vars = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         variables)
     x_spec = jax.ShapeDtypeStruct((batch_size, *input_shape), jnp.float32)
-    exported = jexport.export(jax.jit(fwd))(spec_vars, x_spec)
+    exported = jexport.export(jax.jit(_eval_fn(model)))(spec_vars, x_spec)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "computation.jaxexport"), "wb") as f:
@@ -105,8 +129,9 @@ def export_predictor(model, variables: dict, path: str,
     return path
 
 
-def load_predictor(path: str):
-    """Load an exported predictor: returns f(x: (B, C, H, W)) -> output."""
+def load_predictor(path: str) -> Callable[[np.ndarray], np.ndarray]:
+    """Load an exported predictor: returns f(x) with the same any-batch
+    padding/micro-batching contract as ``Predictor``."""
     import orbax.checkpoint as ocp
     from jax import export as jexport
 
@@ -114,8 +139,10 @@ def load_predictor(path: str):
         exported = jexport.deserialize(f.read())
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+    # input spec: (vars..., x) — x is the last input
+    x_aval = exported.in_avals[-1]
+    batch_size = x_aval.shape[0]
+    sample_ndim = len(x_aval.shape) - 1
 
-    def fn(x):
-        return exported.call(variables, jnp.asarray(x, jnp.float32))
-
-    return fn
+    return _micro_batched(lambda x: exported.call(variables, x),
+                          batch_size, sample_ndim)
