@@ -31,7 +31,7 @@ def main() -> None:
     from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
     from vit_unet_tpu.train.losses import mse
 
-    batch = 32
+    batch = 64  # the reference's own global batch (v2-8 notebook, cell 23)
     # flash_train: fused Pallas re-attention fwd+bwd (custom VJP, in-kernel
     # dropout, frozen-BN head-mix).  2.1x the XLA path's step rate with
     # equal-or-better convergence (see kernels/flash_reattention_train.py;

@@ -132,3 +132,26 @@ def test_param_counts_match_readme():
         v = m.init(jax.random.key(0),
                    jnp.zeros((1, 3, m.config.im_size, m.config.im_size)))
         assert sum(x.size for x in jax.tree.leaves(v["params"])) == want
+
+
+def test_global_residual_flag():
+    """global_residual=True (the TF output form, tf/model.py:208): with
+    zeroed final-conv params the model is the identity map."""
+    cfg = ViTUNetConfig(depth=1, depth_te=1, size_bottleneck=1,
+                        preprocessing="conv", im_size=32, patch_size=8,
+                        hidden_dim=16, num_heads=2, attn_drop=0.0,
+                        proj_drop=0.0, global_residual=True)
+    model = ViTUNet(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    params = jax.tree.map(jnp.zeros_like, variables["params"])
+    out = model.apply({**variables, "params": params}, x,
+                      deterministic=True, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                               rtol=1e-6, atol=1e-6)
+
+    with pytest.raises(ValueError, match="global_residual"):
+        ViTUNetConfig(depth=1, depth_te=1, size_bottleneck=1, im_size=32,
+                      patch_size=8, hidden_dim=16, num_heads=2,
+                      out_channels=1, global_residual=True)

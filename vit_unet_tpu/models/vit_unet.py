@@ -56,6 +56,9 @@ class ViTUNetConfig:
                                      # e.g. 1 for segmentation masks — the
                                      # README's soft-Dice task (README.md:89-102)
                                      # that the reference never wired up
+    global_residual: bool = False    # Y = X + decoded, the TF variant's
+                                     # output form (tf/model.py:208) — makes
+                                     # restoration start from identity
     use_flash: bool = False          # Pallas fused attention path (eval)
     flash_train: bool = False        # ...and in training: in-kernel attn
                                      # dropout + frozen-BN head-mix (fast
@@ -72,6 +75,10 @@ class ViTUNetConfig:
             raise ValueError("patch_size must divide im_size")
         if self.block_type not in ("reattention", "fourier"):
             raise ValueError("block_type must be 'reattention' or 'fourier'")
+        if (self.global_residual and self.out_channels
+                and self.out_channels != self.num_channels):
+            raise ValueError(
+                "global_residual requires out_channels == num_channels")
 
     @property
     def num_patches(self) -> int:
@@ -183,6 +190,8 @@ class ViTUNet(nn.Module):
         out_ch = cfg.out_channels or cfg.num_channels
         if cfg.preprocessing == "conv" or out_ch != cfg.num_channels:
             out = self.conv2d(out.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+        if cfg.global_residual:
+            out = x + out
         elif cfg.preprocessing == "fourier":
             # reference quirk (torch/model.py:429-430): ifft2 of the *input*
             out = jnp.fft.ifft2(x, norm="ortho").real.astype(out.dtype)
