@@ -153,3 +153,71 @@ def test_tfdata_pipeline_roundtrip(tmp_path):
     np.testing.assert_allclose(
         batches[1]["y"][1],
         imgs[3][1].astype(np.float32).transpose(2, 0, 1) / 255.0)
+
+
+def test_prefetch_propagates_producer_errors():
+    def bad_iter():
+        yield {"x": np.ones(2)}
+        raise IOError("corrupt shard")
+
+    it = prefetch_to_device(bad_iter())
+    next(it)
+    with pytest.raises(IOError, match="corrupt shard"):
+        next(it)
+
+
+def test_dataloader_shards_have_equal_length():
+    class Ds:
+        def __len__(self):
+            return 6
+        def __getitem__(self, i):
+            return {"x": np.full(2, i)}
+
+    lengths = []
+    for shard in range(4):
+        dl = DataLoader(Ds(), batch_size=1, shard_id=shard, num_shards=4)
+        lengths.append(len(list(dl)))
+    assert lengths == [1, 1, 1, 1]   # truncated to common length
+
+
+def test_native_rejects_huge_length_field(tmp_path):
+    _native = pytest.importorskip("vit_unet_tpu.data._native")
+    import struct
+    # length field near 2^64 must not wrap the bounds check
+    raw = struct.pack("<Q", 2**64 - 8) + b"\x00" * 24
+    with pytest.raises(IOError, match="truncated"):
+        _native.scan_records(raw)
+
+
+def test_segmentation_mask_stays_binary_after_transforms(monkeypatch, tmp_path):
+    from vit_unet_tpu.data import datasets as D
+
+    ds = object.__new__(D.SegmentationDataset)   # bypass pydicom import
+    ds.dicom_paths = ["fake"]
+    ds.label_paths = ["fake"]
+    ds.slices = [0]
+    ds.im_size = 16
+    from vit_unet_tpu.data.augment import ShiftScaleRotate
+    ds.transforms = ShiftScaleRotate(p=1.0)
+    ds.channels_first = True
+    ds.rng = np.random.default_rng(0)
+
+    img = np.random.default_rng(1).uniform(size=(16, 16)).astype(np.float32)
+    mask = (np.random.default_rng(2).uniform(size=(16, 16)) > 0.5
+            ).astype(np.float32)
+
+    class FakeDicom:
+        pixel_array = img
+
+    class FakeNii:
+        dataobj = np.repeat(mask[..., None], 1, axis=-1)
+
+    import sys, types
+    fake_pydicom = types.SimpleNamespace(dcmread=lambda p: FakeDicom())
+    fake_nib = types.SimpleNamespace(load=lambda p: FakeNii())
+    monkeypatch.setitem(sys.modules, "pydicom", fake_pydicom)
+    monkeypatch.setitem(sys.modules, "nibabel", fake_nib)
+
+    out = ds[0]
+    vals = np.unique(out["y"])
+    assert set(vals.tolist()) <= {0.0, 1.0}

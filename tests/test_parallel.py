@@ -127,3 +127,29 @@ def test_create_hybrid_mesh_single_slice_fallback():
     mesh = create_hybrid_mesh(model_parallel=2, devices=cpu_devices(8))
     assert mesh.axis_names == ("data", "model")
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_mesh_eval_handles_indivisible_batch():
+    """A short remainder batch (drop_remainder=False loaders) runs
+    replicated instead of crashing on 'data'-axis divisibility."""
+    from tests.conftest import cpu_devices
+
+    mesh = create_mesh(model_parallel=1, devices=cpu_devices(4))
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0))
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 3, 32, 32)))
+    tx = optax.adam(1e-3)
+    from vit_unet_tpu.train.losses import mse
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.key(1))
+    steps = build_step_functions(model, tx, mse, mesh=mesh, donate=False)
+    full = {"x": jnp.ones((8, 3, 32, 32)), "y": jnp.ones((8, 3, 32, 32))}
+    short = {"x": jnp.ones((5, 3, 32, 32)), "y": jnp.ones((5, 3, 32, 32))}
+    out_full = steps.eval_step(state, full)
+    out_short = steps.eval_step(state, short)     # 5 % 4 != 0 -> replicated
+    assert np.isfinite(float(out_full["loss"]))
+    assert np.isfinite(float(out_short["loss"]))

@@ -281,3 +281,35 @@ def test_predictor_edge_cases(tmp_path):
                                  deterministic=True,
                                  use_running_average=True))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fit_with_one_shot_iterator(tmp_path):
+    """A one-shot generator works for a single epoch (the init probe batch is
+    replayed); multi-epoch raises a clear error instead of silently training
+    on nothing."""
+    ds = SyntheticDenoise()
+    batches_list = [ds[i] for i in range(4)]
+
+    def one_shot():
+        for b in batches_list:
+            yield {"x": np.stack([b["x"]]), "y": np.stack([b["y"]])}
+
+    fitter = small_fitter(tmp_path)
+    hist = fitter.fit(one_shot(), n_epochs=1, verbose=False, save_best=False)
+    # all 4 batches trained (the probe batch was not lost)
+    assert int(fitter.state.step) == 4
+
+    fitter2 = small_fitter(tmp_path)
+    with pytest.raises(ValueError, match="one-shot iterator"):
+        fitter2.fit(one_shot(), n_epochs=2, verbose=False, save_best=False)
+
+
+def test_resume_without_init_state_raises(tmp_path):
+    ds = SyntheticDenoise()
+    fitter = small_fitter(tmp_path)
+    dl = batches(ds)
+    fitter.fit(lambda: iter(dl), n_epochs=1, save_last=True, verbose=False,
+               save_best=False)
+    fresh = small_fitter(tmp_path)
+    with pytest.raises(ValueError, match="init_state"):
+        fresh.resume()

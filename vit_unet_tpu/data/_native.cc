@@ -113,7 +113,9 @@ PyObject* py_scan_records(PyObject*, PyObject* args, PyObject* kwargs) {
   while (pos + 16 <= n) {
     uint64_t length;
     std::memcpy(&length, buf + pos, 8);
-    if (pos + 16 + length > n) {
+    // overflow-safe bound: `pos + 16 + length > n` can wrap for a corrupt
+    // length near 2^64 and pass, reading wild memory
+    if (length > n - pos - 16) {
       bad_offset = static_cast<Py_ssize_t>(pos);
       bad_kind = "truncated record";
       break;

@@ -149,6 +149,9 @@ class SegmentationDataset:
                           interpolation=cv2.INTER_NEAREST)
         if self.transforms is not None:
             img, mask = self.transforms(self.rng, img, mask)
+            # geometric transforms interpolate linearly; masks must stay
+            # binary (albumentations does this via its image/mask split)
+            mask = (mask > 0.5).astype(np.float32)
         x = np.repeat(img[..., None], 3, axis=-1)     # grayscale -> 3ch
         y = mask[..., None]
         if self.channels_first:

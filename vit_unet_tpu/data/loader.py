@@ -53,8 +53,11 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             idx = rng.permutation(idx)
-        # per-host shard (each host feeds its own slice of the global batch)
-        return idx[self.shard_id::self.num_shards]
+        # per-host shard (each host feeds its own slice of the global batch).
+        # Truncate to a common per-shard length: unequal shard sizes would
+        # give hosts different step counts and hang the SPMD collectives.
+        per_shard = len(idx) // self.num_shards
+        return idx[self.shard_id::self.num_shards][:per_shard]
 
     def __iter__(self) -> Iterator[dict]:
         indices = self._indices()
@@ -67,9 +70,7 @@ class DataLoader:
         if self.num_workers == 0:
             samples: Iterable[dict] = (fetch(i) for i in indices)
         else:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(self.num_workers)
-            samples = pool.map(fetch, indices)
+            samples = self._windowed_map(fetch, indices)
 
         batch: list[dict] = []
         for s in samples:
@@ -79,6 +80,24 @@ class DataLoader:
                 batch = []
         if batch and not self.drop_remainder:
             yield _collate(batch)
+
+    def _windowed_map(self, fn, items) -> Iterator[dict]:
+        """Thread-pool map with a bounded in-flight window: decodes stay a
+        couple of batches ahead of consumption without materialising the
+        whole epoch (Executor.map submits everything up front)."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = max(2 * self.batch_size, 4 * self.num_workers)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: deque = deque()
+            it = iter(items)
+            for item in it:
+                pending.append(pool.submit(fn, item))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
 
 def _collate(samples: Sequence[dict]) -> dict:
@@ -189,6 +208,7 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
     ``prefetch(AUTOTUNE)`` played in the reference."""
     q: queue.Queue = queue.Queue(maxsize=size)
     sentinel = object()
+    error: list[BaseException] = []
 
     def put(batch):
         if sharding is not None:
@@ -199,6 +219,8 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
         try:
             for batch in iterator:
                 q.put(put(batch))
+        except BaseException as e:  # surface in the consumer, don't swallow
+            error.append(e)
         finally:
             q.put(sentinel)
 
@@ -206,5 +228,7 @@ def prefetch_to_device(iterator: Iterable[dict], size: int = 2,
     while True:
         item = q.get()
         if item is sentinel:
+            if error:
+                raise error[0]
             return
         yield item

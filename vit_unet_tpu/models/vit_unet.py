@@ -79,6 +79,12 @@ class ViTUNetConfig:
                 and self.out_channels != self.num_channels):
             raise ValueError(
                 "global_residual requires out_channels == num_channels")
+        if (self.preprocessing == "fourier" and self.out_channels
+                and self.out_channels != self.num_channels):
+            raise ValueError(
+                "preprocessing='fourier' replaces the output with ifft2 of "
+                "the input (reference quirk, torch/model.py:429-430) and is "
+                "incompatible with out_channels != num_channels")
 
     @property
     def num_patches(self) -> int:

@@ -76,18 +76,16 @@ def build_step_functions(
         step_rng = jax.random.fold_in(state.rng, state.step)
 
         def compute_loss(params):
-            variables = {"params": params}
-            mutable = []
+            variables = _variables(state.replace(params=params))
             if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = model.apply(
-                variables, x, deterministic=False, use_running_average=False,
-                rngs={"dropout": step_rng},
-                mutable=mutable) if mutable else (model.apply(
+                pred, updates = model.apply(
                     variables, x, deterministic=False,
-                    rngs={"dropout": step_rng}), None)
-            pred, updates = out if mutable else (out[0], None)
+                    use_running_average=False, rngs={"dropout": step_rng},
+                    mutable=["batch_stats"])
+            else:
+                pred = model.apply(variables, x, deterministic=False,
+                                   rngs={"dropout": step_rng})
+                updates = None
             loss = loss_fn(pred.astype(jnp.float32), y.astype(jnp.float32))
             return loss, (pred, updates)
 
@@ -150,18 +148,27 @@ def build_step_functions(
             rng=repl)
 
     _cache: dict = {}
+    data_size = mesh.shape["data"]
 
     def make(fn, key, is_train):
         def wrapped(state, batch):
-            if key not in _cache:
+            # a short remainder batch (drop_remainder=False eval loaders)
+            # can't shard over 'data'; run it replicated — every device
+            # computes the full small batch (one extra compile, correct
+            # metrics) instead of crashing on indivisibility.
+            leading = jax.tree.leaves(batch)[0].shape[0]
+            divisible = leading % data_size == 0
+            ckey = (key, divisible)
+            if ckey not in _cache:
                 ss = state_sharding_for(state)
-                batch_sh = jax.tree.map(lambda _: data, batch)
-                _cache[key] = jax.jit(
+                batch_sh = jax.tree.map(
+                    lambda _: data if divisible else repl, batch)
+                _cache[ckey] = jax.jit(
                     fn, in_shardings=(ss, batch_sh),
                     out_shardings=((ss, metric_shardings) if is_train
                                    else metric_shardings),
                     donate_argnums=(0,) if (is_train and donate) else ())
-            return _cache[key](state, batch)
+            return _cache[ckey](state, batch)
         return wrapped
 
     return StepFunctions(make(train_step, "train", True),

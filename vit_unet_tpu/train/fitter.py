@@ -172,13 +172,23 @@ class Fitter:
 
     def resume(self, name: str = "last-checkpoint") -> int:
         """Restore full training state from a periodic checkpoint and return
-        the epoch to continue from (0 if no checkpoint exists).  Together
-        with ``fit(..., save_last=True, initial_epoch=...)`` this gives
-        preemption-safe training — the elastic-recovery capability the
-        reference lacks entirely (its best-only ``.h5``/``.bin`` checkpoints
-        carry no optimizer state or epoch counter)."""
+        the epoch to continue from (0 if no checkpoint exists).  Requires
+        ``init_state(sample_batch)`` first (the restore needs the state
+        template).  Idiom::
+
+            fitter.init_state(first_batch)
+            start = fitter.resume()
+            fitter.fit(data, n_epochs=N, save_last=True, initial_epoch=start)
+
+        This is preemption-safe training — the elastic-recovery capability
+        the reference lacks entirely (its best-only ``.h5``/``.bin``
+        checkpoints carry no optimizer state or epoch counter)."""
         if not os.path.isdir(self._ckpt_path(name)):
             return 0
+        if self.state is None:
+            raise ValueError(
+                "resume() needs the state template: call "
+                "init_state(sample_batch) before resume()")
         _, extra = self.load(name, with_extra=True)
         if extra:
             self.best = float(extra.get("best", self.best))
@@ -225,10 +235,18 @@ class Fitter:
         ``save_last=True`` writes a full-state 'last-checkpoint' every epoch;
         pair with ``initial_epoch=fitter.resume()`` for preemption-safe
         restarts."""
+        leftover = None   # (epoch_index, chained_iterator) for one-shot input
         if self.state is None:
             probe = train_data() if callable(train_data) else train_data
-            first = next(iter(probe))
+            probe_it = iter(probe)
+            first = next(probe_it)
             self.init_state(first)
+            if not callable(train_data) and probe_it is probe:
+                # one-shot iterator: don't lose the probe batch — replay it
+                # plus the rest for the first epoch
+                import itertools
+                leftover = (initial_epoch,
+                            itertools.chain([first], probe_it))
         self.stop_training = False
         for cb in callbacks:
             cb.on_train_begin(self)
@@ -236,14 +254,25 @@ class Fitter:
         for epoch in range(initial_epoch, n_epochs):
             t0 = time.time()
             agg: dict[str, list] = {}
-            data = train_data() if callable(train_data) else train_data
+            if leftover is not None and leftover[0] == epoch:
+                data = leftover[1]
+            else:
+                data = train_data() if callable(train_data) else train_data
+            n_steps = 0
             for i, batch in enumerate(data):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
                 self.state, out = self.steps.train_step(
                     self.state, self._device_batch(batch))
+                n_steps += 1
                 for k, v in out.items():
                     agg.setdefault(k, []).append(v)
+            if n_steps == 0:
+                raise ValueError(
+                    f"train_data yielded no batches for epoch {epoch} — a "
+                    "one-shot iterator is exhausted after its first epoch; "
+                    "pass a callable returning a fresh iterable (or a "
+                    "re-iterable like DataLoader) for multi-epoch training")
             logs = {k: float(np.mean([float(x) for x in v]))
                     for k, v in agg.items()}
             if val_data is not None:
