@@ -45,6 +45,8 @@ class HViTUNetTFConfig:
     drop_linear: float = 0.4
     resampling_type: str = "standard"        # 'max' | 'avg' | 'standard' | 'conv'
     original_attn: bool = True
+    use_flash: bool = False                  # Pallas re-attention kernels
+    flash_train: bool = False                # (only for original_attn=False)
     dtype: str = "float32"
     param_dtype: str = "float32"
 
@@ -106,6 +108,7 @@ class HViTUNetTF(nn.Module):
                 num_heads=cfg.num_heads, num_layers=layers,
                 num_channels=cfg.num_channels, attn_drop=cfg.drop_attn,
                 proj_drop=cfg.drop_proj, original_attn=cfg.original_attn,
+                use_flash=cfg.use_flash, flash_train=cfg.flash_train,
                 dtype=dt, param_dtype=pdt, name=name)
 
         h = PatchEncoderCL(img_size=cfg.img_size, patch_size=ps[0],

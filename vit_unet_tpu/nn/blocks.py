@@ -121,6 +121,8 @@ class TFTransformerEncoder(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     original_attn: bool = True
+    use_flash: bool = False
+    flash_train: bool = False
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -139,7 +141,9 @@ class TFTransformerEncoder(nn.Module):
                 attn_out = ReAttention(
                     dim=self.projection_dim, num_channels=self.num_channels,
                     num_heads=self.num_heads, qkv_kernel=3, qkv_gelu=True,
-                    attn_drop=self.attn_drop, bn_axis_name=self.bn_axis_name,
+                    token_layout="cl", attn_drop=self.attn_drop,
+                    use_flash=self.use_flash, flash_train=self.flash_train,
+                    bn_axis_name=self.bn_axis_name,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name=f"reattn_{i}")(
                         x, deterministic=deterministic,

@@ -80,6 +80,9 @@ class ReAttention(nn.Module):
     apply_transform: bool = True
     transform_scale: bool = False
     qkv_gelu: bool = False
+    token_layout: str = "cm"  # 'cm' = channel-major flattened patches (torch
+                              # flavour); 'cl' = channels-last (TF flavour,
+                              # tf/functions.py:224-238)
     use_flash: bool = False  # fused Pallas re-attention (vit_unet_tpu.kernels)
     flash_train: bool = False  # fused path in training too: in-kernel attn
                                # dropout + frozen-BN head-mix (see
@@ -115,7 +118,8 @@ class ReAttention(nn.Module):
 
     def _qkv(self, q_in, k_in, v_in):
         def go(x, conv):
-            y = conv_tokens(x, conv, self.num_channels)
+            y = conv_tokens(x, conv, self.num_channels,
+                            layout=self.token_layout)
             if self.qkv_gelu:
                 y = jax.nn.gelu(y, approximate=False)
             return split_heads(y, self.num_heads)
