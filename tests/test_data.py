@@ -221,3 +221,47 @@ def test_segmentation_mask_stays_binary_after_transforms(monkeypatch, tmp_path):
     out = ds[0]
     vals = np.unique(out["y"])
     assert set(vals.tolist()) <= {0.0, 1.0}
+
+
+def test_codec_numpy_scalars_and_empty_lists():
+    """encode_feature accepts numpy scalars; decode handles empty numeric
+    lists (both verified against TF's own parser when available)."""
+    payload = tfr.encode_example({
+        "label": np.int64(5),
+        "score": np.float32(0.25),
+        "empty_f": np.asarray([], np.float32),
+        "empty_i": np.asarray([], np.int64),
+    })
+    decoded = tfr.decode_example(payload)
+    assert decoded["label"].tolist() == [5]
+    np.testing.assert_allclose(decoded["score"], [0.25])
+    assert len(decoded["empty_f"]) == 0
+    assert len(decoded["empty_i"]) == 0
+
+    try:
+        import tensorflow as tf
+    except ImportError:
+        return
+    ex = tf.train.Example.FromString(payload)
+    assert ex.features.feature["label"].int64_list.value[:] == [5]
+    # and the reverse: TF-written empty float list decodes cleanly
+    ex2 = tf.train.Example(features=tf.train.Features(feature={
+        "e": tf.train.Feature(float_list=tf.train.FloatList(value=[])),
+        "x": tf.train.Feature(bytes_list=tf.train.BytesList(value=[b"a"])),
+    }))
+    out = tfr.decode_example(ex2.SerializeToString())
+    assert out["x"] == [b"a"]
+    assert len(out["e"]) == 0
+
+
+def test_python_reader_raises_ioerror_on_truncation(tmp_path, monkeypatch):
+    # force the pure-python path
+    monkeypatch.setattr(tfr, "_NATIVE", None)
+    monkeypatch.setattr(tfr, "_NATIVE_CHECKED", True)
+    path = str(tmp_path / "t.tfrec")
+    with tfr.TFRecordWriter(path) as w:
+        w.write(b"hello world payload")
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[:-6])          # chop the tail
+    with pytest.raises(IOError, match="truncated"):
+        list(tfr.read_records(path))

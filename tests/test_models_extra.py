@@ -161,6 +161,7 @@ def test_rampup_exp_decay_matches_reference_formula():
 
 
 def test_lr_scheduler_callback_sets_fitter_lr():
+    """Schedule applies at epoch BEGIN (so resumed fits get the right LR)."""
     from vit_unet_tpu.train.schedules import LearningRateScheduler
 
     class FakeFitter:
@@ -168,10 +169,10 @@ def test_lr_scheduler_callback_sets_fitter_lr():
 
     sched = LearningRateScheduler(lambda e: 0.1 * (e + 1))
     f = FakeFitter()
-    sched.on_train_begin(f)
+    sched.on_epoch_begin(f, 0)
     assert f.learning_rate == pytest.approx(0.1)
-    sched.on_epoch_end(f, 0, {})
-    assert f.learning_rate == pytest.approx(0.2)
+    sched.on_epoch_begin(f, 9)   # resume at epoch 9 -> epoch-9 LR, not 0's
+    assert f.learning_rate == pytest.approx(1.0)
 
 
 # -- profiling utilities -----------------------------------------------------
@@ -205,3 +206,22 @@ def test_annotate_traces_under_jit():
             return x * 2
 
     np.testing.assert_allclose(np.asarray(f(jnp.ones(4))), 2.0)
+
+
+def test_resampling_rejects_non_integer_ratio():
+    from vit_unet_tpu.nn.resampling import Resampling
+
+    r = Resampling(img_size=96, patch_size=(8, 12), projection_dim=192,
+                   resampling_type="max")
+    x = jnp.ones((1, 144, 192))
+    with pytest.raises(ValueError, match="integer multiples"):
+        r.init(jax.random.key(0), x)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from vit_unet_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path / "prof")):
+        jnp.ones(8).sum().block_until_ready()
+    import os
+    assert any(os.scandir(tmp_path / "prof"))

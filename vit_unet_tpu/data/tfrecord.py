@@ -56,25 +56,27 @@ def _crc32c_py(data: bytes) -> int:
     return int(crc ^ np.uint32(0xFFFFFFFF))
 
 
-def _load_native():
-    try:
-        from vit_unet_tpu.data import _native  # noqa
-        return _native
-    except Exception:
-        return None
-
-
 _NATIVE = None
 _NATIVE_CHECKED = False
 
 
-def crc32c(data: bytes) -> int:
+def _get_native():
+    """Cached accessor for the optional C++ extension (None if not built)."""
     global _NATIVE, _NATIVE_CHECKED
     if not _NATIVE_CHECKED:
-        _NATIVE = _load_native()
+        try:
+            from vit_unet_tpu.data import _native
+            _NATIVE = _native
+        except Exception:
+            _NATIVE = None
         _NATIVE_CHECKED = True
-    if _NATIVE is not None:
-        return _NATIVE.crc32c(data)
+    return _NATIVE
+
+
+def crc32c(data: bytes) -> int:
+    native = _get_native()
+    if native is not None:
+        return native.crc32c(data)
     return _crc32c_py(data)
 
 
@@ -132,12 +134,13 @@ def encode_feature(value) -> bytes:
     if isinstance(first, (bytes, bytearray)):
         inner = b"".join(_ld(1, bytes(v)) for v in value)
         return _ld(1, inner)                      # BytesList
-    if isinstance(first, float):
-        packed = struct.pack(f"<{len(value)}f", *value)
+    if isinstance(first, (float, np.floating)):
+        packed = struct.pack(f"<{len(value)}f", *[float(v) for v in value])
         inner = _varint((1 << 3) | 2) + _varint(len(packed)) + packed
         return _ld(2, inner)                      # FloatList (packed)
-    if isinstance(first, int):
-        packed = b"".join(_varint(v & 0xFFFFFFFFFFFFFFFF) for v in value)
+    if isinstance(first, (int, np.integer)):
+        packed = b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF)
+                          for v in value)
         inner = _varint((1 << 3) | 2) + _varint(len(packed)) + packed
         return _ld(3, inner)                      # Int64List (packed)
     raise TypeError(f"unsupported feature value type {type(first)}")
@@ -191,10 +194,16 @@ def _decode_map_entry(entry: bytes):
 
 
 def _decode_feature(body: bytes):
+    if not body:                      # Feature with no list set
+        return []
     tag, pos = _read_varint(body, 0)
     field = tag >> 3
     length, pos = _read_varint(body, pos)
     inner = body[pos:pos + length]
+    if field == 2 and not inner:      # empty FloatList
+        return np.empty(0, dtype="<f4")
+    if field == 3 and not inner:      # empty Int64List
+        return np.empty(0, dtype=np.int64)
     if field == 1:  # BytesList
         values = []
         ipos = 0
@@ -253,21 +262,22 @@ class TFRecordWriter:
 def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
     with open(path, "rb") as f:
         data = f.read()
-    global _NATIVE, _NATIVE_CHECKED
-    if not _NATIVE_CHECKED:
-        _NATIVE = _load_native()
-        _NATIVE_CHECKED = True
-    if _NATIVE is not None:
+    native = _get_native()
+    if native is not None:
         # single-pass C++ scan + CRC verify (slicing-by-8)
         try:
-            yield from _NATIVE.read_records(data, verify_crc=verify_crc)
+            yield from native.read_records(data, verify_crc=verify_crc)
             return
         except IOError as e:
             raise IOError(f"{e} in {path}") from None
     pos = 0
     n = len(data)
     while pos < n:
+        if pos + 16 > n:
+            raise IOError(f"truncated record header at offset {pos} in {path}")
         (length,) = struct.unpack_from("<Q", data, pos)
+        if length > n - pos - 16:
+            raise IOError(f"truncated record at offset {pos} in {path}")
         header = data[pos:pos + 8]
         (hcrc,) = struct.unpack_from("<I", data, pos + 8)
         payload = data[pos + 12:pos + 12 + length]

@@ -38,6 +38,12 @@ class Resampling(nn.Module):
     def __call__(self, encoded: jnp.ndarray) -> jnp.ndarray:
         assert self.resampling_type in ("max", "avg", "standard", "conv")
         p_from, p_to = self.patch_size
+        big, small = max(p_from, p_to), min(p_from, p_to)
+        if big % small:
+            raise ValueError(
+                f"patch sizes {self.patch_size} must be integer multiples of "
+                "each other — a non-integer resampling ratio has no token "
+                "merge/split interpretation")
         n_from = (self.img_size // p_from) ** 2
         n_to = (self.img_size // p_to) ** 2
         pos = lambda dim: nn.Embed(

@@ -13,6 +13,7 @@ from typing import Callable, Optional
 
 class Callback:
     def on_train_begin(self, fitter) -> None: ...
+    def on_epoch_begin(self, fitter, epoch: int) -> None: ...
     def on_epoch_end(self, fitter, epoch: int, logs: dict) -> None: ...
     def on_train_end(self, fitter) -> None: ...
 
@@ -105,8 +106,10 @@ class JSONLLogger(Callback):
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
 
     def on_epoch_end(self, fitter, epoch, logs):
+        # logs['lr'] (set by the fitter at epoch start) is the LR this epoch
+        # trained with; fitter.learning_rate may already hold next epoch's.
         rec = {"epoch": epoch, "elapsed_s": round(time.time() - self._t0, 2),
-               "lr": fitter.learning_rate, **logs}
+               "lr": logs.get("lr", fitter.learning_rate), **logs}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec, default=float) + "\n")
 

@@ -253,6 +253,9 @@ class Fitter:
 
         for epoch in range(initial_epoch, n_epochs):
             t0 = time.time()
+            for cb in callbacks:
+                cb.on_epoch_begin(self, epoch)
+            lr_this_epoch = self.learning_rate
             agg: dict[str, list] = {}
             if leftover is not None and leftover[0] == epoch:
                 data = leftover[1]
@@ -279,6 +282,9 @@ class Fitter:
                 vd = val_data() if callable(val_data) else val_data
                 logs.update(self._run_eval(vd, validation_steps))
             logs["epoch_time_s"] = round(time.time() - t0, 2)
+            # the LR this epoch actually trained with (end-of-epoch callbacks
+            # may already have mutated the live value for the NEXT epoch)
+            logs["lr"] = lr_this_epoch
 
             monitored = logs.get(self.monitor, logs.get("loss"))
             if save_best and monitored is not None and (

@@ -39,24 +39,18 @@ def rampup_exp_decay(
 
 
 class LearningRateScheduler(Callback):
-    """Applies ``schedule(epoch)`` at the *start* of each epoch by setting the
+    """Applies ``schedule(epoch)`` at the start of each epoch by setting the
     fitter's injected learning rate (keras ``LearningRateScheduler``
-    equivalent).  Uses on_epoch_end to set the LR for the next epoch and
-    on_train_begin for epoch 0."""
+    equivalent).  Driven by ``on_epoch_begin`` so resumed runs
+    (``fit(initial_epoch=fitter.resume())``) get the correct epoch's LR."""
 
     def __init__(self, schedule: Callable[[int], float], verbose: bool = False):
         self.schedule = schedule
         self.verbose = verbose
 
-    def _apply(self, fitter, epoch: int) -> None:
+    def on_epoch_begin(self, fitter, epoch: int) -> None:
         lr = float(self.schedule(epoch))
         fitter.learning_rate = lr
         if self.verbose:
             print(f"LearningRateScheduler: epoch {epoch} lr={lr:.3g}",
                   flush=True)
-
-    def on_train_begin(self, fitter):
-        self._apply(fitter, 0)
-
-    def on_epoch_end(self, fitter, epoch, logs):
-        self._apply(fitter, epoch + 1)

@@ -22,12 +22,13 @@ import time
 from typing import Iterator, Optional
 
 import jax
+import numpy as np
 
 
 @contextlib.contextmanager
-def trace(logdir: str, *, host_tracer_level: int = 2) -> Iterator[None]:
+def trace(logdir: str) -> Iterator[None]:
     """Capture a jax.profiler trace of the enclosed block into ``logdir``."""
-    jax.profiler.start_trace(logdir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(logdir)
     try:
         yield
     finally:
@@ -66,7 +67,13 @@ def device_memory_report(device: Optional[jax.Device] = None) -> dict:
         report["num_buffers"] = len(bufs)
         total = 0
         for b in bufs:
-            nbytes = b.size * b.dtype.itemsize
+            # count only the shards resident on THIS device — a sharded
+            # array's global size would overcount by the shard count
+            nbytes = sum(
+                int(np.prod(s.data.shape)) * b.dtype.itemsize
+                for s in getattr(b, "addressable_shards", [])
+                if s.device == device) or (b.size * b.dtype.itemsize
+                                           if len(b.devices()) == 1 else 0)
             total += nbytes
             key = str(b.dtype)
             report["by_dtype"][key] = report["by_dtype"].get(key, 0) + nbytes

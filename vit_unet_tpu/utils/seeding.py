@@ -16,6 +16,8 @@ def seed_everything(seed: int = 42) -> jax.Array:
     """Seed python, numpy, and (if present) torch/TF; returns a jax key."""
     random.seed(seed)
     np.random.seed(seed)
+    # NOTE: only affects CHILD processes (loader workers etc.) — hash
+    # randomization of the running interpreter is fixed at startup.
     os.environ["PYTHONHASHSEED"] = str(seed)
     try:  # optional backends, seeded for oracle/test reproducibility
         import torch
