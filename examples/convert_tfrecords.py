@@ -41,8 +41,13 @@ def main(argv=None):
         y = cv2.cvtColor(cv2.imread(cp), cv2.COLOR_BGR2RGB)    # y = clean
         return {"x": x.tobytes(), "y": y.tobytes()}
 
+    if args.folds < 2:   # single shard group: everything in fold 0
+        fold_indices = [range(len(clean))]
+    else:
+        fold_indices = [val for _, val in
+                        kfold_split(len(clean), args.folds)]
     all_paths = []
-    for k, (_, val_idx) in enumerate(kfold_split(len(clean), args.folds)):
+    for k, val_idx in enumerate(fold_indices):
         items = [(clean[i], noisy[i]) for i in val_idx]
         paths = convert(items, args.output_folder, f"{args.prefix}_{k}_",
                         serialize, max_mb=args.max_mb)

@@ -55,7 +55,12 @@ def main(argv=None):
     train_dl = DataLoader(ds, global_batch, shuffle=True)
     val_dl = DataLoader(ds, global_batch, drop_remainder=False)
 
-    model = get_vit_unet(args.model, dtype=args.dtype,
+    # train at the stored resolution (the model's internal resize only
+    # touches x; targets stay at the stored size — like the TF notebook,
+    # which trains 128² natively)
+    h, w, _ = args.shape
+    assert h == w, "stored images must be square"
+    model = get_vit_unet(args.model, im_size=h, dtype=args.dtype,
                          use_flash=args.flash, flash_train=args.flash)
     fitter = Fitter(model, learning_rate=args.lr, optimizer="adam",
                     loss="mse", metrics=("psnr",), mesh=mesh,

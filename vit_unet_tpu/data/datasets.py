@@ -222,6 +222,11 @@ class ClassificationDataset:
 def kfold_split(n: int, n_folds: int = 5, seed: int = 42):
     """Yield (train_idx, val_idx) per fold — KFold(5, shuffle, random_state=42)
     protocol of run_denoising.py:43."""
+    if n_folds < 2:
+        raise ValueError("kfold_split needs n_folds >= 2 (a single fold has "
+                         "no train/val split)")
+    if n < n_folds:
+        raise ValueError(f"cannot split {n} samples into {n_folds} folds")
     rng = np.random.default_rng(seed)
     order = rng.permutation(n)
     folds = np.array_split(order, n_folds)

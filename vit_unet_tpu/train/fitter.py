@@ -239,7 +239,14 @@ class Fitter:
         if self.state is None:
             probe = train_data() if callable(train_data) else train_data
             probe_it = iter(probe)
-            first = next(probe_it)
+            try:
+                first = next(probe_it)
+            except StopIteration:
+                raise ValueError(
+                    "train_data yielded no batches — check batch_size vs "
+                    "dataset size (drop_remainder loaders produce nothing "
+                    "when the dataset is smaller than one global batch)"
+                ) from None
             self.init_state(first)
             if not callable(train_data) and probe_it is probe:
                 # one-shot iterator: don't lose the probe batch — replay it
