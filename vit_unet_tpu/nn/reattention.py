@@ -161,8 +161,11 @@ class ReAttention(nn.Module):
         """Adaptive kernel tile size: 256 wins ~20% compute at the fine
         levels (small proj, many tokens — measured at the base bottleneck);
         128 keeps VMEM scratch (H, block, proj) bounded for wide-proj coarse
-        levels and avoids 2x padding waste for short sequences."""
-        return 256 if (self.dim <= 512 and n >= 256) else 128
+        levels and avoids 2x padding waste for short sequences.  256 is
+        restricted to per-head dim <= 32 — Mosaic crashes on e.g.
+        (H=8, dh=48, block 256) multi-tile grids (TPU shape sweep)."""
+        dh = self.dim // self.num_heads
+        return 256 if (self.dim <= 512 and n >= 256 and dh <= 32) else 128
 
     @staticmethod
     def _interpret() -> bool:
@@ -204,11 +207,11 @@ class ReAttention(nn.Module):
     @property
     def _flash_ok(self) -> bool:
         """Flash kernels pay off at the fine hierarchy levels (many tokens,
-        small per-head dim).  Wide-head levels (dh > 128, i.e. the coarse
-        level of the 3072-proj configs) are matmul-bound with few tokens —
-        XLA handles them well, and Mosaic miscompiles multi-tile grids at
-        such dh — so they stay on the XLA path."""
-        return self.dim // self.num_heads <= 128
+        small per-head dim).  Gated to the envelope validated by the TPU
+        shape sweep: per-head dim <= 128 (wide-head coarse levels are
+        matmul-bound anyway) and <= 8 heads (Mosaic miscompiles several
+        16-head multi-tile grids).  Everything else takes the XLA path."""
+        return (self.dim // self.num_heads <= 128 and self.num_heads <= 8)
 
     def _attend(self, q, k, v, *, deterministic, use_running_average):
         if (self.use_flash and self._flash_ok and self.apply_transform
