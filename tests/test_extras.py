@@ -72,3 +72,28 @@ def test_seed_everything_reproducible():
     np.testing.assert_array_equal(
         np.asarray(jax.random.uniform(k1, (4,))),
         np.asarray(jax.random.uniform(k2, (4,))))
+
+
+def test_visualization_utils(tmp_path):
+    from vit_unet_tpu.utils.visualize import (pair_grid, plot_history,
+                                              prediction_grid)
+
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(4, 3, 16, 16)).astype(np.float32)
+    fig = prediction_grid(imgs, imgs * 0.9, imgs,
+                          path=str(tmp_path / "grid.png"))
+    assert (tmp_path / "grid.png").exists()
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+    hist = {"loss": [1.0, 0.5, 0.3], "val_loss": [1.1, 0.6, 0.4],
+            "psnr": [10, 12, 14], "epoch_time_s": [1, 1, 1],
+            "lr": [1e-4] * 3}
+    fig = plot_history(hist, path=str(tmp_path / "hist.png"))
+    assert (tmp_path / "hist.png").exists()
+    plt.close(fig)
+
+    gray = rng.uniform(size=(4, 16, 16)).astype(np.float32)
+    fig = pair_grid(gray, gray, path=str(tmp_path / "pairs.png"))
+    assert (tmp_path / "pairs.png").exists()
+    plt.close(fig)
