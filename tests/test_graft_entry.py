@@ -1,0 +1,51 @@
+"""Driver-gate regression tests (VERDICT.md round 1, Missing #1).
+
+Round 1 shipped a red multi-chip gate because ``dryrun_multichip`` was only
+ever exercised under ``JAX_PLATFORMS=cpu`` isolation, while the driver runs
+it with the TPU PJRT plugin registered (where ``jax.devices()`` returns the
+single real chip regardless of ``--xla_force_host_platform_device_count``).
+These tests invoke the gates the way the driver does: a fresh subprocess,
+no platform pinning, only the XLA host-device-count flag.
+"""
+import os
+import subprocess
+import sys
+
+import jax
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_env(n: int = 8) -> dict:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_dryrun_multichip_driver_env():
+    """The exact driver invocation: TPU plugin registered, 8 virtual CPU
+    devices, no JAX_PLATFORMS."""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip;"
+         "dryrun_multichip(8); print('DRYRUN_OK')"],
+        cwd=REPO, env=_driver_env(8), capture_output=True, text=True,
+        timeout=560)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "DRYRUN_OK" in proc.stdout
+
+
+def test_entry_returns_jittable():
+    """entry() must return (fn, example_args) that trace/compile-check."""
+    from __graft_entry__ import entry
+
+    fn, example_args = entry()
+    out = jax.eval_shape(fn, *example_args)
+    x = example_args[-1]
+    assert out.shape == x.shape and out.dtype == x.dtype

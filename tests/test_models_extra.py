@@ -191,8 +191,12 @@ def test_stage_timer_and_memory_report():
     assert s["a"]["count"] == 2 and s["b"]["count"] == 1
     assert "a:" in t.report()
 
-    keep = jnp.ones((16, 16))          # ensure at least one live buffer
-    rep = device_memory_report(jax.devices("cpu")[0])
+    # pin the probe buffer to the queried device — under the driver env the
+    # default backend is the TPU plugin, so uncommitted arrays land there
+    cpu = jax.devices("cpu")[0]
+    keep = jax.device_put(jnp.ones((16, 16)), cpu)
+    jax.block_until_ready(keep)
+    rep = device_memory_report(cpu)
     assert rep["num_buffers"] is None or rep["num_buffers"] >= 1
     del keep
 

@@ -313,3 +313,71 @@ def test_resume_without_init_state_raises(tmp_path):
     fresh = small_fitter(tmp_path)
     with pytest.raises(ValueError, match="init_state"):
         fresh.resume()
+
+
+def test_sample_weight_slot():
+    """The reference's third dataset slot (torch/dataset.py:85-90 yields
+    (x, y, w)): w=1 reproduces the unweighted loss; zero weights remove
+    samples from the loss."""
+    from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
+    import optax
+
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, num_channels=3, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0, linear_drop=0.0))
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 3, 32, 32)))
+    tx = optax.sgd(0.0)
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.key(1))
+    steps = build_step_functions(model, tx, mse, donate=False)
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(rng_np.normal(size=(4, 3, 32, 32)).astype(np.float32))
+    y = x * 0.9
+
+    out_plain = steps.eval_step(state, {"x": x, "y": y})
+    out_ones = steps.eval_step(
+        state, {"x": x, "y": y, "w": jnp.ones((4,))})
+    np.testing.assert_allclose(float(out_ones["loss"]),
+                               float(out_plain["loss"]), rtol=1e-5)
+
+    # zeroing the last two samples == evaluating only the first two
+    out_zero = steps.eval_step(
+        state, {"x": x, "y": y, "w": jnp.asarray([1.0, 1.0, 0.0, 0.0])})
+    out_first2 = steps.eval_step(state, {"x": x[:2], "y": y[:2]})
+    np.testing.assert_allclose(float(out_zero["loss"]),
+                               float(out_first2["loss"]), rtol=1e-5)
+
+    # train_step accepts the slot too; w=1 matches the unweighted train
+    # loss (train mode uses batch BN stats, so compare train vs train)
+    _, m_w = steps.train_step(state, {"x": x, "y": y, "w": jnp.ones((4,))})
+    _, m_now = steps.train_step(state, {"x": x, "y": y})
+    np.testing.assert_allclose(float(m_w["loss"]), float(m_now["loss"]),
+                               rtol=1e-5)
+
+
+def test_eval_aggregation_is_sample_weighted():
+    """_run_eval must weight per-batch means by batch size (a short final
+    drop_remainder=False batch previously biased val metrics)."""
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, num_channels=3, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0, linear_drop=0.0))
+    fitter = Fitter(model, loss="mse", metrics=())
+    rng_np = np.random.default_rng(1)
+    x = rng_np.normal(size=(6, 3, 32, 32)).astype(np.float32)
+    y = np.zeros_like(x)
+    fitter.init_state({"x": x[:1], "y": y[:1]})
+
+    # batches of 4 + 2 (short remainder)
+    batches = [{"x": x[:4], "y": y[:4]}, {"x": x[4:], "y": y[4:]}]
+    got = fitter.evaluate(batches)["val_loss"]
+    # ground truth: pooled per-sample mean over all 6 samples
+    per_batch = [float(np.mean(np.square(
+        np.asarray(fitter.predict(b["x"])) - b["y"]))) for b in batches]
+    pooled = (per_batch[0] * 4 + per_batch[1] * 2) / 6
+    biased = np.mean(per_batch)
+    assert got == pytest.approx(pooled, rel=1e-4)
+    assert abs(got - pooled) <= abs(got - biased)

@@ -63,6 +63,14 @@ class ViTUNetConfig:
     flash_train: bool = False        # ...and in training: in-kernel attn
                                      # dropout + frozen-BN head-mix (fast
                                      # mode; see kernels/ docstrings)
+    sequence_parallel: bool = False  # shard the token axis of long fine-level
+                                     # sequences over the mesh 'model' axis,
+                                     # all-gathering K/V over ICI per layer
+                                     # (parallel/sequence.py) — the TPU-native
+                                     # long-context capability (SURVEY.md §5);
+                                     # pass the mesh via ViTUNet(cfg, mesh=...)
+    sp_min_tokens: int = 1024        # apply SP only at levels with >= this
+                                     # many tokens (coarse levels don't pay)
     dtype: str = "float32"
     param_dtype: str = "float32"
 
@@ -106,6 +114,9 @@ class ViTUNetConfig:
 
 class ViTUNet(nn.Module):
     config: ViTUNetConfig
+    # mesh for sequence parallelism (config.sequence_parallel=True); when
+    # None the ambient abstract mesh is used if one is active
+    mesh: Optional[jax.sharding.Mesh] = None
 
     def setup(self):
         cfg = self.config
@@ -139,6 +150,8 @@ class ViTUNet(nn.Module):
                 proj_drop=cfg.proj_drop, linear_drop=cfg.linear_drop,
                 qkv_kernel=cfg.qkv_kernel, ln_mode=cfg.ln_mode,
                 use_flash=cfg.use_flash, flash_train=cfg.flash_train,
+                sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
+                sp_min_tokens=cfg.sp_min_tokens,
                 dtype=dt, param_dtype=pdt)
 
         self.Encoders = [block(lvl)
@@ -154,7 +167,9 @@ class ViTUNet(nn.Module):
                 num_channels=cfg.num_channels, num_heads=cfg.num_heads,
                 qkv_kernel=cfg.qkv_kernel, attn_drop=cfg.attn_drop,
                 proj_drop=cfg.proj_drop, use_flash=cfg.use_flash,
-                flash_train=cfg.flash_train, dtype=dt, param_dtype=pdt)
+                flash_train=cfg.flash_train,
+                sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
+                sp_min_tokens=cfg.sp_min_tokens, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]
         out_ch = cfg.out_channels or cfg.num_channels
         if cfg.preprocessing == "conv" or out_ch != cfg.num_channels:
@@ -232,6 +247,10 @@ def get_config(name: str, **overrides) -> ViTUNetConfig:
     return ViTUNetConfig(**{**PRESETS[name.lower()], **overrides})
 
 
-def get_vit_unet(name: str, **overrides) -> ViTUNet:
-    """Name -> model factory mirroring ``get_vit_unet`` (torch/model.py:438)."""
-    return ViTUNet(get_config(name, **overrides))
+def get_vit_unet(name: str, mesh=None, **overrides) -> ViTUNet:
+    """Name -> model factory mirroring ``get_vit_unet`` (torch/model.py:438).
+
+    ``mesh`` (a jax.sharding.Mesh with a 'model' axis) enables the
+    sequence-parallel path when combined with ``sequence_parallel=True``.
+    """
+    return ViTUNet(get_config(name, **overrides), mesh=mesh)

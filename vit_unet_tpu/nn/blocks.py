@@ -35,6 +35,9 @@ class ReAttentionEncoderBlock(nn.Module):
     ln_mode: str = "shared"  # 'shared' (notebook/README) | 'dual' (packaged)
     use_flash: bool = False
     flash_train: bool = False
+    sequence_parallel: bool = False
+    sp_mesh: Optional[object] = None
+    sp_min_tokens: int = 1024
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -45,6 +48,8 @@ class ReAttentionEncoderBlock(nn.Module):
             num_heads=self.num_heads, qkv_kernel=self.qkv_kernel,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             use_flash=self.use_flash, flash_train=self.flash_train,
+            sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
+            sp_min_tokens=self.sp_min_tokens,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             param_dtype=self.param_dtype)
         ln = lambda name: nn.LayerNorm(

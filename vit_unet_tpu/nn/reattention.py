@@ -87,6 +87,14 @@ class ReAttention(nn.Module):
     flash_train: bool = False  # fused path in training too: in-kernel attn
                                # dropout + frozen-BN head-mix (see
                                # kernels/flash_reattention_train.py docstring)
+    sequence_parallel: bool = False  # shard the token axis over sp_axis and
+                                     # all-gather K/V over ICI per layer
+                                     # (parallel/sequence.py); train + eval
+    sp_axis: str = "model"
+    sp_data_axis: Optional[str] = "data"
+    sp_mesh: Optional[jax.sharding.Mesh] = None  # explicit mesh; falls back
+                                                 # to the ambient abstract mesh
+    sp_min_tokens: int = 1024  # SP only pays at fine (long-token) levels
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -213,7 +221,76 @@ class ReAttention(nn.Module):
         16-head multi-tile grids).  Everything else takes the XLA path."""
         return (self.dim // self.num_heads <= 128 and self.num_heads <= 8)
 
+    def _sp_mesh_for(self, n: int):
+        """The mesh to sequence-parallelise over, or None if SP doesn't
+        apply (no mesh / axis missing / axis size 1 / token count too small
+        or not divisible)."""
+        if not self.sequence_parallel:
+            return None
+        mesh = self.sp_mesh
+        if mesh is None:
+            am = jax.sharding.get_abstract_mesh()
+            if am is not None and self.sp_axis in getattr(am, "shape", {}):
+                mesh = am
+        if mesh is None or self.sp_axis not in mesh.shape:
+            return None
+        size = mesh.shape[self.sp_axis]
+        if size <= 1 or n < self.sp_min_tokens or n % size:
+            return None
+        return mesh
+
+    def _attend_sp(self, q, k, v, mesh, *, deterministic,
+                   use_running_average):
+        """Sequence-parallel path (parallel/sequence.py): token rows sharded
+        over ``sp_axis``, K/V all-gathered over ICI.  Eval uses the folded
+        running-stats affine; training runs dropout + batch-stats BN with
+        cross-shard psums, then feeds the exact batch statistics back into
+        ``var_norm``'s running averages."""
+        from vit_unet_tpu.parallel.sequence import (
+            sequence_parallel_reattention, sequence_parallel_reattention_train)
+
+        q = (q * self.scale).astype(self.dtype)
+        if deterministic and use_running_average:
+            m_eff, c_eff = self._folded_compact()
+            return sequence_parallel_reattention(
+                q, k.astype(self.dtype), v.astype(self.dtype), m_eff, c_eff,
+                mesh, axis=self.sp_axis, data_axis=self.sp_data_axis)
+
+        cp = self.reatten_matrix.variables["params"]
+        bp = self.var_norm.variables["params"]
+        rate = 0.0 if deterministic else float(self.attn_drop)
+        rng = self.make_rng("dropout") if rate > 0.0 else None
+        if use_running_average:
+            bs = self.var_norm.variables["batch_stats"]
+            running = (bs["mean"], bs["var"])
+        else:
+            running = None
+        out, mean, var = sequence_parallel_reattention_train(
+            q, k.astype(self.dtype), v.astype(self.dtype),
+            cp["kernel"].reshape(self.num_heads, self.num_heads), cp["bias"],
+            bp["scale"], bp["bias"], mesh, dropout_rng=rng, rate=rate,
+            axis=self.sp_axis, data_axis=self.sp_data_axis, eps=1e-5,
+            reatten_scale=self.scale if self.transform_scale else 1.0,
+            running_stats=running)
+        if not use_running_average:
+            # Update var_norm's running averages through the normal flax
+            # machinery: a 2-point tensor per feature with batch statistics
+            # exactly (mean, var) — BatchNorm's EMA update then matches the
+            # unsharded path bit-for-bit (output discarded).
+            s = jnp.sqrt(var)
+            dummy = jnp.stack([mean - s, mean + s])[:, None, None, :]
+            _ = self.var_norm(
+                jax.lax.stop_gradient(dummy.astype(self.dtype)),
+                use_running_average=False)
+        return out
+
     def _attend(self, q, k, v, *, deterministic, use_running_average):
+        if (self.apply_transform and not self.is_initializing()):
+            sp_mesh = self._sp_mesh_for(q.shape[2])
+            if sp_mesh is not None:
+                return self._attend_sp(
+                    q, k, v, sp_mesh, deterministic=deterministic,
+                    use_running_average=use_running_average)
         if (self.use_flash and self._flash_ok and self.apply_transform
                 and deterministic and use_running_average
                 and not self.is_initializing()):
@@ -263,6 +340,9 @@ class SkipConnection(nn.Module):
     qkv_gelu: bool = False
     use_flash: bool = False
     flash_train: bool = False
+    sequence_parallel: bool = False
+    sp_mesh: Optional[jax.sharding.Mesh] = None
+    sp_min_tokens: int = 1024
     bn_axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -277,6 +357,8 @@ class SkipConnection(nn.Module):
             proj_drop=self.proj_drop, apply_transform=True,
             transform_scale=self.transform_scale, qkv_gelu=self.qkv_gelu,
             use_flash=self.use_flash, flash_train=self.flash_train,
+            sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
+            sp_min_tokens=self.sp_min_tokens,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attn")
         qh, kh, vh = inner._qkv(q, k, v)

@@ -17,10 +17,20 @@ sequence-parallel without materialising cross-shard attention.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _batch_spec(mesh: Mesh, data_axis: Optional[str],
+                batch: int) -> Optional[str]:
+    """The batch-dim mesh axis, or None if the batch must be replicated
+    (axis missing, or batch not divisible by the axis size)."""
+    if not data_axis or data_axis not in mesh.shape:
+        return None
+    return data_axis if batch % mesh.shape[data_axis] == 0 else None
 
 
 def _local_reattention(q, k, v, m_eff, c_eff, *, axis: str):
@@ -46,19 +56,23 @@ def sequence_parallel_reattention(
     c_eff: jnp.ndarray,      # (H,)
     mesh: Mesh,
     axis: str = "model",
+    data_axis: Optional[str] = "data",
 ) -> jnp.ndarray:
     """Eval-mode re-attention with the token axis sharded over ``axis``.
 
-    Token count must divide the axis size.  Returns the merged-head
-    (B, N, H*dh) output with the same sharding layout as the inputs.
+    Token count must divide the axis size.  The batch axis stays sharded
+    over ``data_axis`` when the mesh has one (composes with the DP train
+    step); pass ``data_axis=None`` to replicate the batch.  Returns the
+    merged-head (B, N, H*dh) output.
     """
     n = q.shape[2]
     size = mesh.shape[axis]
     if n % size:
         raise ValueError(f"token count {n} not divisible by mesh axis "
                          f"{axis!r} of size {size}")
-    tok = P(None, None, axis, None)
-    out_spec = P(None, axis, None)
+    ba = _batch_spec(mesh, data_axis, q.shape[0])
+    tok = P(ba, None, axis, None)
+    out_spec = P(ba, axis, None)
     fn = jax.shard_map(
         partial(_local_reattention, axis=axis),
         mesh=mesh,
@@ -66,3 +80,113 @@ def sequence_parallel_reattention(
         out_specs=out_spec,
     )
     return fn(q, k, v, m_eff, c_eff)
+
+
+def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
+                             rm, rv, seed, *, axis: str,
+                             batch_axis: Optional[str], rate: float,
+                             eps: float, reatten_scale: float,
+                             use_batch_stats: bool,
+                             n_global: int, b_global: int):
+    """Training-mode per-shard body: softmax -> attention dropout ->
+    1x1 head-mix conv -> BatchNorm with *batch* statistics psum'd across
+    every shard of the (batch, token-row) plane -> @V.
+
+    Matches the XLA path's train semantics (nn.Dropout + nn.Conv + nn.BatchNorm
+    with use_running_average=False) up to the dropout random stream.
+    Returns (out, batch_mean, batch_var) — the stats let the caller update
+    the BN running averages exactly.
+    """
+    k_full = jax.lax.all_gather(k, axis, axis=2, tiled=True)
+    v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k_full,
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    if rate > 0.0:
+        # unique stream per (data, sequence) shard
+        idx = jax.lax.axis_index(axis)
+        if batch_axis is not None:
+            idx = idx + jax.lax.axis_size(axis) * jax.lax.axis_index(batch_axis)
+        key = jax.random.fold_in(jax.random.wrap_key_data(seed), idx)
+        keep = jax.random.bernoulli(key, 1.0 - rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    # 1x1 conv across heads on the (B, N, M, H)-oriented tensor:
+    # out_head g = sum_h kernel[h, g] * p_h + bias[g]
+    a = (jnp.einsum("hg,bhnm->bgnm", mix_kernel.astype(jnp.float32), p)
+         + mix_bias.astype(jnp.float32)[None, :, None, None])
+    # BatchNorm batch statistics over (batch, rows, cols) — rows are sharded
+    # over `axis` (and batch over `batch_axis`): psum partial sums so stats
+    # equal the unsharded computation's exactly
+    if use_batch_stats:
+        axes = (axis,) if batch_axis is None else (axis, batch_axis)
+        cnt = jnp.asarray(b_global * n_global * a.shape[3], jnp.float32)
+        mean = jax.lax.psum(jnp.sum(a, axis=(0, 2, 3)), axes) / cnt
+        sq = jax.lax.psum(jnp.sum(jnp.square(a), axis=(0, 2, 3)), axes) / cnt
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)  # match flax BatchNorm
+    else:
+        # dropout-under-frozen-stats mode (use_running_average=True while
+        # training): normalise with the running averages
+        mean = rm.astype(jnp.float32)
+        var = rv.astype(jnp.float32)
+    a = ((a - mean[None, :, None, None])
+         * jax.lax.rsqrt(var + eps)[None, :, None, None]
+         * bn_scale.astype(jnp.float32)[None, :, None, None]
+         + bn_bias.astype(jnp.float32)[None, :, None, None])
+    if reatten_scale != 1.0:
+        a = a * reatten_scale
+    out = jnp.einsum("bhnm,bhmd->bhnd", a.astype(v_full.dtype), v_full)
+    b, h, n, dh = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, n, h * dh), mean, var
+
+
+def sequence_parallel_reattention_train(
+    q: jnp.ndarray,          # (B, H, N, dh), pre-scaled by qk_scale
+    k: jnp.ndarray,          # (B, H, N, dh)
+    v: jnp.ndarray,          # (B, H, N, dh)
+    mix_kernel: jnp.ndarray,  # (H, H) raw 1x1 head-mix conv kernel [h_in, h_out]
+    mix_bias: jnp.ndarray,    # (H,)
+    bn_scale: jnp.ndarray,    # (H,)
+    bn_bias: jnp.ndarray,     # (H,)
+    mesh: Mesh,
+    dropout_rng: Optional[jax.Array] = None,
+    rate: float = 0.0,
+    axis: str = "model",
+    data_axis: Optional[str] = "data",
+    eps: float = 1e-5,
+    reatten_scale: float = 1.0,
+    running_stats: Optional[tuple] = None,  # (mean, var): normalise with
+                                            # these instead of batch stats
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Training-mode sequence-parallel re-attention.
+
+    Differentiable through shard_map (grads psum across shards where the
+    stats/gathers require it).  Returns ``(out, mean, var)``; with batch
+    statistics (``running_stats=None``) the stats are replicated and exactly
+    equal the unsharded BatchNorm's, so the caller can apply the
+    running-average update.
+    """
+    b, _, n, _ = q.shape
+    size = mesh.shape[axis]
+    if n % size:
+        raise ValueError(f"token count {n} not divisible by mesh axis "
+                         f"{axis!r} of size {size}")
+    if rate > 0.0 and dropout_rng is None:
+        raise ValueError("attention dropout needs dropout_rng")
+    ba = _batch_spec(mesh, data_axis, b)
+    tok = P(ba, None, axis, None)
+    seed = jax.random.key_data(
+        dropout_rng if dropout_rng is not None else jax.random.key(0))
+    use_batch_stats = running_stats is None
+    heads = mix_bias.shape[0]
+    rm, rv = (running_stats if running_stats is not None
+              else (jnp.zeros((heads,)), jnp.ones((heads,))))
+    fn = jax.shard_map(
+        partial(_local_reattention_train, axis=axis, batch_axis=ba,
+                rate=rate, eps=eps, reatten_scale=reatten_scale,
+                use_batch_stats=use_batch_stats, n_global=n, b_global=b),
+        mesh=mesh,
+        in_specs=(tok, tok, tok, P(None, None), P(None), P(None), P(None),
+                  P(None), P(None), P(None)),
+        out_specs=(P(ba, axis, None), P(None), P(None)),
+    )
+    return fn(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias, rm, rv, seed)

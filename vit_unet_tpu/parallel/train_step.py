@@ -71,8 +71,23 @@ def build_step_functions(
             v["batch_stats"] = state.batch_stats
         return v
 
+    def _weighted_loss(pred, y, w):
+        """Per-sample loss weighting — the reference's third dataset slot
+        (torch/dataset.py:85-90 yields (x, y, w); benatools multiplies the
+        per-sample loss by w).  Weighted mean normalised by sum(w) so w=1
+        reproduces the unweighted loss exactly."""
+        per = jax.vmap(lambda p, t: loss_fn(p, t))(
+            pred.astype(jnp.float32), y.astype(jnp.float32))
+        w = w.astype(jnp.float32).reshape(-1)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+    def _loss(pred, y, w):
+        if w is not None:
+            return _weighted_loss(pred, y, w)
+        return loss_fn(pred.astype(jnp.float32), y.astype(jnp.float32))
+
     def train_step(state: TrainState, batch: dict):
-        x, y = batch["x"], batch["y"]
+        x, y, w = batch["x"], batch["y"], batch.get("w")
         step_rng = jax.random.fold_in(state.rng, state.step)
 
         def compute_loss(params):
@@ -86,7 +101,7 @@ def build_step_functions(
                 pred = model.apply(variables, x, deterministic=False,
                                    rngs={"dropout": step_rng})
                 updates = None
-            loss = loss_fn(pred.astype(jnp.float32), y.astype(jnp.float32))
+            loss = _loss(pred, y, w)
             return loss, (pred, updates)
 
         (loss, (pred, updates)), grads = jax.value_and_grad(
@@ -104,11 +119,10 @@ def build_step_functions(
         return new_state, out_metrics
 
     def eval_step(state: TrainState, batch: dict):
-        x, y = batch["x"], batch["y"]
+        x, y, w = batch["x"], batch["y"], batch.get("w")
         pred = model.apply(_variables(state), x, deterministic=True,
                            use_running_average=True)
-        out = {"loss": loss_fn(pred.astype(jnp.float32),
-                               y.astype(jnp.float32))}
+        out = {"loss": _loss(pred, y, w)}
         for name, fn in metrics.items():
             out[name] = fn(pred.astype(jnp.float32), y.astype(jnp.float32))
         return out
@@ -158,7 +172,9 @@ def build_step_functions(
             # metrics) instead of crashing on indivisibility.
             leading = jax.tree.leaves(batch)[0].shape[0]
             divisible = leading % data_size == 0
-            ckey = (key, divisible)
+            # batch structure (e.g. an optional 'w' sample-weight slot) is
+            # part of the compiled signature — key the shardings on it too
+            ckey = (key, divisible, tuple(sorted(batch)))
             if ckey not in _cache:
                 ss = state_sharding_for(state)
                 batch_sh = jax.tree.map(

@@ -99,7 +99,8 @@ class Predictor:
 
 def export_predictor(model, variables: dict, path: str,
                      batch_size: int = 8,
-                     input_shape: Optional[tuple] = None) -> str:
+                     input_shape: Optional[tuple] = None,
+                     platforms: tuple = ("cpu", "tpu")) -> str:
     """Serialize the compiled eval computation (StableHLO) + params.
 
     Layout: ``{path}/computation.jaxexport`` + ``{path}/params/`` (orbax).
@@ -117,7 +118,11 @@ def export_predictor(model, variables: dict, path: str,
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         variables)
     x_spec = jax.ShapeDtypeStruct((batch_size, *input_shape), jnp.float32)
-    exported = jexport.export(jax.jit(_eval_fn(model)))(spec_vars, x_spec)
+    # Multi-platform lowering: the artifact must run wherever it is loaded
+    # (export-on-CPU -> serve-on-TPU and vice versa), not just on the
+    # platform of the exporting process.
+    exported = jexport.export(jax.jit(_eval_fn(model)),
+                              platforms=list(platforms))(spec_vars, x_spec)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "computation.jaxexport"), "wb") as f:
@@ -138,7 +143,22 @@ def load_predictor(path: str) -> Callable[[np.ndarray], np.ndarray]:
     with open(os.path.join(path, "computation.jaxexport"), "rb") as f:
         exported = jexport.deserialize(f.read())
     ckptr = ocp.StandardCheckpointer()
-    variables = ckptr.restore(os.path.abspath(os.path.join(path, "params")))
+    # Restore against an abstract target rebuilt from the exported input
+    # spec.  A template-free restore would replay the *saving* process's
+    # device layout (e.g. "Device TFRT_CPU_0 was not found" when an
+    # artifact exported on CPU is loaded in a TPU process); the abstract
+    # target places params on this process's default devices instead.
+    in_args, _ = jax.tree.unflatten(exported.in_tree, exported.in_avals)
+    # honour an explicitly-pinned default device (jax_default_device) —
+    # jax.devices()[0] would be the TPU plugin even when execution is pinned
+    # to CPU (see utils/profiling.py note on backend detection)
+    device = jax.config.jax_default_device or jax.devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(device)
+    spec_vars = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding),
+        in_args[0])
+    variables = ckptr.restore(
+        os.path.abspath(os.path.join(path, "params")), spec_vars)
     # input spec: (vars..., x) — x is the last input
     x_aval = exported.in_avals[-1]
     batch_size = x_aval.shape[0]

@@ -202,11 +202,17 @@ class Fitter:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _run_eval(self, data: Iterable, max_steps: Optional[int]) -> dict:
+        # per-batch means are aggregated weighted by batch size, so a short
+        # final batch (drop_remainder=False loaders) contributes exactly its
+        # share of samples instead of a full batch's worth
         agg: dict[str, list] = {}
+        sizes: list[int] = []
         for i, batch in enumerate(data):
             if max_steps is not None and i >= max_steps:
                 break
-            out = self.steps.eval_step(self.state, self._device_batch(batch))
+            db = self._device_batch(batch)
+            sizes.append(int(jax.tree.leaves(db)[0].shape[0]))
+            out = self.steps.eval_step(self.state, db)
             for k, v in out.items():
                 agg.setdefault(k, []).append(float(v))
         if not agg:
@@ -214,7 +220,9 @@ class Fitter:
                 "validation data yielded no batches — check batch_size vs "
                 "dataset size (drop_remainder loaders silently drop short "
                 "final batches)")
-        return {f"val_{k}": float(np.mean(v)) for k, v in agg.items()}
+        w = np.asarray(sizes, np.float64)
+        return {f"val_{k}": float(np.sum(np.asarray(v) * w) / np.sum(w))
+                for k, v in agg.items()}
 
     def fit(
         self,

@@ -63,7 +63,14 @@ def device_memory_report(device: Optional[jax.Device] = None) -> dict:
         "by_dtype": {},
     }
     try:
-        bufs = [b for b in jax.live_arrays() if device in b.devices()]
+        # live_arrays() with no argument only reports the *default backend*'s
+        # arrays; a CPU-committed array is invisible in a TPU-plugin process.
+        # Query the platform the requested device actually belongs to.
+        try:
+            live = jax.live_arrays(device.platform)
+        except Exception:
+            live = jax.live_arrays()
+        bufs = [b for b in live if device in b.devices()]
         report["num_buffers"] = len(bufs)
         total = 0
         for b in bufs:
