@@ -103,6 +103,108 @@ def test_feedforward_tf_flavour_parity():
     np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-3)
 
 
+def _dense_params(layer):
+    return {"kernel": jnp.asarray(np.asarray(layer.kernel)),
+            "bias": jnp.asarray(np.asarray(layer.bias))}
+
+
+def _ln_params(layer):
+    return {"scale": jnp.asarray(np.asarray(layer.gamma)),
+            "bias": jnp.asarray(np.asarray(layer.beta))}
+
+
+def _embed_params(layer):
+    return {"embedding": jnp.asarray(np.asarray(layer.embeddings))}
+
+
+def _mha_params(layer):
+    """keras MultiHeadAttention.weights order: query k/b, key k/b, value k/b,
+    output k/b — layouts match our DenseGeneral params exactly."""
+    w = [np.asarray(t) for t in layer.weights]
+    return {name: {"kernel": jnp.asarray(w[2 * i]),
+                   "bias": jnp.asarray(w[2 * i + 1])}
+            for i, name in enumerate(["query", "key", "value", "out"])}
+
+
+def _encoder_params(enc, num_layers):
+    p = {}
+    for j in range(num_layers):
+        p[f"attn_{j}"] = _mha_params(enc.Attn[j])
+        p[f"ln1_{j}"] = _ln_params(enc.LN1[j])
+        p[f"ln2_{j}"] = _ln_params(enc.LN2[j])
+        p[f"ff_{j}"] = {"fc1": _dense_params(enc.FF[j].D1),
+                        "fc2": _dense_params(enc.FF[j].D2)}
+    return p
+
+
+def _resampling_params(rs):
+    return {"linear": _dense_params(rs.linear),
+            "position_embedding": _embed_params(rs.position_embedding)}
+
+
+def test_hvit_unet_tf_full_model_golden():
+    """End-to-end weight-transplant parity: the ACTUAL reference TF model
+    (``/root/reference/vit_unet/tf/model.py:9-209``, ``original_attn=True`` —
+    the path the reference trained on TPU) vs our ``HViTUNetTF``, outputs
+    within 1e-4 on the same weights.
+
+    Note on the reference's stale-bottleneck defect (tf/model.py:106,119):
+    the bottleneck is constructed with the stale loop variable
+    ``patch_size[i]``, but for ``original_attn=True`` that only affects the
+    (unused-by-keras-MHA) ``num_patches`` attribute, so the transplanted
+    weights and the computation are identical; the defect is only live for
+    the re-attention path, where we use the correct level (SURVEY.md §2.5.2).
+    """
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from vit_unet.tf.model import HViT_UNet as RefModel
+
+    from vit_unet_tpu.models.hvit_unet_tf import HViTUNetTF, HViTUNetTFConfig
+
+    img, ps, heads = 16, [2, 4, 8], 2
+    tlayers, bneck = [1, 1], 1
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, img, img, 3)).astype(np.float32) * 0.5
+
+    ref = RefModel(img_size=img, patch_size=ps, num_channels=3,
+                   num_heads=heads, transformer_layers=tlayers,
+                   size_bottleneck=bneck, hidden_unit_factor=2.0,
+                   resampling_type="standard", original_attn=True)
+    t_out = np.asarray(ref(tf.constant(x)))     # builds all weights; eval mode
+
+    model = HViTUNetTF(HViTUNetTFConfig(
+        img_size=img, patch_size=tuple(ps), num_channels=3, num_heads=heads,
+        transformer_layers=tuple(tlayers), size_bottleneck=bneck,
+        hidden_unit_factor=2.0, resampling_type="standard",
+        original_attn=True))
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+
+    n_levels = len(ps) - 1
+    params = {
+        "PE": {"projection": _dense_params(ref.PE.projection),
+               "position_embedding": _embed_params(ref.PE.position_embedding)},
+        "BottleNeck": _encoder_params(ref.BottleNeck.layers[0], bneck),
+    }
+    for i in range(n_levels):
+        params[f"Encoder_{i}"] = _encoder_params(ref.Encoder[i], tlayers[i])
+        params[f"Encoder_RS_{i}"] = _resampling_params(ref.Encoder_RS[i])
+        lvl = len(ps) - (i + 2)
+        params[f"Decoder_{i}"] = _encoder_params(ref.Decoder[i], tlayers[lvl])
+        params[f"Decoder_RS_{i}"] = _resampling_params(ref.Decoder_RS[i])
+        params[f"SkipConnection_{i}"] = _mha_params(ref.SkipConnections[i].Attn)
+
+    # same tree structure as a fresh init (catches missing/misnamed modules)
+    ref_treedef = jax.tree_util.tree_structure(variables["params"])
+    got_treedef = jax.tree_util.tree_structure(params)
+    assert ref_treedef == got_treedef, (ref_treedef, got_treedef)
+
+    j_out = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                   deterministic=True))
+    assert j_out.shape == t_out.shape
+    np.testing.assert_allclose(j_out, t_out, rtol=TOL, atol=TOL)
+
+
 def test_layernorm_last_axis_parity():
     """TF-flavour blocks use standard last-axis LN (tf/functions.py:288-289)."""
     from flax import linen as nn

@@ -160,6 +160,50 @@ class SegmentationDataset:
         return {"x": x.astype(np.float32), "y": y.astype(np.float32)}
 
 
+class SegmentationFolderDataset(PairedImageDataset):
+    """Binary segmentation from a PNG folder layout (``{root}/images/*`` +
+    ``{root}/masks/*``, matched by sorted order) — the CLI-runnable form of
+    the reference's README segmentation task (README.md:85-102); the
+    Pancreas-CT DICOM/NIfTI reader is ``SegmentationDataset``.  Yields
+    x (3, H, W) in [0, 1] and y (1, H, W) binary."""
+
+    @classmethod
+    def from_folder(cls, root: str, im_size: int = 224, transforms=None,
+                    channels_first: bool = True,
+                    image_dir: str = "images", mask_dir: str = "masks",
+                    indices: Optional[Sequence[int]] = None, **kw):
+        images = sorted(glob.glob(os.path.join(root, image_dir, "*")))
+        masks = sorted(glob.glob(os.path.join(root, mask_dir, "*")))
+        if len(images) != len(masks):
+            raise ValueError(
+                f"unpaired dataset: {len(images)} images vs {len(masks)} masks")
+        if indices is not None:
+            images = [images[i] for i in indices]
+            masks = [masks[i] for i in indices]
+        return cls(images, masks, im_size=im_size, transforms=transforms,
+                   channels_first=channels_first, **kw)
+
+    def __getitem__(self, idx: int) -> dict:
+        x = _imread_rgb(self.input_paths[idx])
+        mask = cv2.imread(self.target_paths[idx], cv2.IMREAD_GRAYSCALE)
+        if mask is None:
+            raise IOError(f"could not read mask {self.target_paths[idx]!r}")
+        x = cv2.resize(x, (self.im_size, self.im_size))
+        mask = cv2.resize(mask, (self.im_size, self.im_size),
+                          interpolation=cv2.INTER_NEAREST)
+        mask = (mask.astype(np.float32) > 0).astype(np.float32)
+        if self.transforms is not None:
+            x, mask = self.transforms(self.rng, x, mask)
+            # geometric transforms interpolate; masks must stay binary
+            mask = (np.asarray(mask) > 0.5).astype(np.float32)
+        x = x.astype(np.float32) / 255.0
+        y = mask[..., None]
+        if self.channels_first:
+            x = x.transpose(2, 0, 1)
+            y = y.transpose(2, 0, 1)
+        return {"x": x, "y": y.astype(np.float32)}
+
+
 class ClassificationDataset:
     """Image-classification pairs from a class-subdirectory tree
     (``root/<class_name>/*.jpg|png``) — the layout the reference converts to

@@ -235,9 +235,37 @@ def _decode_feature(body: bytes):
 # Record-level IO
 # --------------------------------------------------------------------------
 
+def _open_binary(source, mode: str):
+    """(file_obj, owns, display_name) for a path, URL, or file-like object.
+
+    Remote URLs (``gs://``, ``s3://``, ``memory://``, ...) go through fsspec
+    when available — the reference's canonical TPU recipe streams TFRecords
+    from GCS (``TPUs_in_Colab.ipynb`` cell 21); this keeps that workflow
+    available without TensorFlow.  File-like objects (anything with
+    read/write) are used as-is and not closed.
+    """
+    if hasattr(source, "read") or hasattr(source, "write"):
+        return source, False, getattr(source, "name", repr(source))
+    path = os.fspath(source)
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme and scheme != "file":
+        try:
+            import fsspec
+        except ImportError as e:
+            raise ImportError(
+                f"reading {path!r} needs fsspec (pip install fsspec"
+                f"[+{scheme} backend]) or pass an open file-like object"
+            ) from e
+        return fsspec.open(path, mode).open(), True, path
+    return open(path, mode), True, path
+
+
 class TFRecordWriter:
-    def __init__(self, path: str):
-        self._f = open(path, "wb")
+    """Writes TFRecord framing to a local path, an fsspec URL, or an open
+    binary file-like object."""
+
+    def __init__(self, path):
+        self._f, self._owns, self.name = _open_binary(path, "wb")
 
     def write(self, payload: bytes) -> None:
         header = struct.pack("<Q", len(payload))
@@ -250,7 +278,8 @@ class TFRecordWriter:
         self.write(encode_example(features))
 
     def close(self) -> None:
-        self._f.close()
+        if self._owns:
+            self._f.close()
 
     def __enter__(self):
         return self
@@ -259,9 +288,15 @@ class TFRecordWriter:
         self.close()
 
 
-def read_records(path: str, verify_crc: bool = True) -> Iterator[bytes]:
-    with open(path, "rb") as f:
+def read_records(path, verify_crc: bool = True) -> Iterator[bytes]:
+    """Yield record payloads from a local path, an fsspec URL (``gs://``
+    etc.), or an open binary file-like object."""
+    f, owns, path = _open_binary(path, "rb")
+    try:
         data = f.read()
+    finally:
+        if owns:
+            f.close()
     native = _get_native()
     if native is not None:
         # single-pass C++ scan + CRC verify (slicing-by-8)
@@ -310,8 +345,18 @@ def convert(
 ) -> list[str]:
     """Write items into size-capped shards named ``{prefix}{idx}-{count}.tfrec``
     with the item count in the filename (the contract ``count_data_items``
-    relies on, ``ViT_UNet_TF_TPU.ipynb`` cell 16)."""
-    os.makedirs(folder, exist_ok=True)
+    relies on, ``ViT_UNet_TF_TPU.ipynb`` cell 16).
+
+    ``folder`` may be a local directory or an fsspec URL (``gs://bucket/dir``)
+    — the reference's GCS upload step (``TPUs_in_Colab.ipynb`` cells 17-19)
+    becomes a direct remote write.  Remote shards are buffered in memory
+    (bounded by ``max_mb``) because the count-in-filename contract is only
+    known once the shard is full.
+    """
+    remote = "://" in str(folder) and not str(folder).startswith("file://")
+    if not remote:
+        os.makedirs(folder, exist_ok=True)
+    join = (lambda *p: "/".join(s.strip("/") for s in p)) if remote else os.path.join
     paths: list[str] = []
     shard_idx = 0
     shard_bytes = 0
@@ -323,10 +368,17 @@ def convert(
         nonlocal writer, tmp_path, shard_idx, shard_bytes, shard_count
         if writer is None:
             return
-        writer.close()
-        final = os.path.join(
+        final = join(
             folder, f"{prefix}{str(shard_idx).zfill(zfill)}-{shard_count}.tfrec")
-        os.replace(tmp_path, final)
+        if remote:
+            import fsspec
+            buf = writer._f
+            writer.close()
+            with fsspec.open(final, "wb") as out:
+                out.write(buf.getvalue())
+        else:
+            writer.close()
+            os.replace(tmp_path, final)
         paths.append(final)
         shard_idx += 1
         shard_bytes = 0
@@ -339,8 +391,12 @@ def convert(
         if writer is not None and shard_bytes + len(payload) > max_mb * 2**20:
             finish()
         if writer is None:
-            tmp_path = os.path.join(folder, f".{prefix}tmp{shard_idx}")
-            writer = TFRecordWriter(tmp_path)
+            if remote:
+                import io
+                writer = TFRecordWriter(io.BytesIO())
+            else:
+                tmp_path = os.path.join(folder, f".{prefix}tmp{shard_idx}")
+                writer = TFRecordWriter(tmp_path)
         writer.write(payload)
         shard_bytes += len(payload) + 16
         shard_count += 1

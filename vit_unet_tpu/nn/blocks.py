@@ -153,13 +153,17 @@ class TFTransformerEncoder(nn.Module):
                     name=f"reattn_{i}")(
                         x, deterministic=deterministic,
                         use_running_average=use_running_average)
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+            # epsilon=1e-3: tf.keras.layers.LayerNormalization's default, the
+            # reference builds its LNs with no arguments (tf/functions.py:288)
+            x = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
                              name=f"ln1_{i}")(attn_out + x)
             ff = FeedForward(
                 projection_dim=self.projection_dim, hidden_dim=self.hidden_dim,
                 dropout=self.proj_drop, final_gelu=True, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"ff_{i}")(
                     x, deterministic=deterministic)
-            x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+            x = nn.LayerNorm(epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
                              name=f"ln2_{i}")(ff + x)
         return x

@@ -55,12 +55,22 @@ def categorical_crossentropy(logits: jnp.ndarray, target: jnp.ndarray,
     return -jnp.mean(jnp.sum(target * log_probs, axis=-1))
 
 
+def dice_bce(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Soft-Dice (on sigmoid probabilities) + BCE-with-logits — the standard
+    compound objective for the README's binary-segmentation task
+    (README.md:85-102; the reference spec'd soft-Dice but never wired a
+    training head for it)."""
+    probs = jax.nn.sigmoid(logits)
+    return soft_dice_loss(probs, target) + bce_with_logits(logits, target)
+
+
 LOSSES = {
     "mse": mse,
     "mae": mae,
     "charbonnier": charbonnier,
     "soft_dice": soft_dice_loss,
     "bce": bce_with_logits,
+    "dice_bce": dice_bce,
     "categorical_crossentropy": categorical_crossentropy,
 }
 

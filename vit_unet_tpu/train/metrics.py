@@ -93,10 +93,19 @@ def f1(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return precision_recall_f1(p, target)["f1"]
 
 
+def dice_from_logits(logits: jnp.ndarray, target: jnp.ndarray,
+                     threshold: float = 0.5) -> jnp.ndarray:
+    """Hard Dice on thresholded sigmoid probabilities — the evaluation form
+    for a logits-output segmentation head (train with ``dice_bce``)."""
+    pred = (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
+    return dice_score(pred, target, smooth=1e-6)
+
+
 METRICS = {
     "psnr": psnr,
     "ssim": ssim,
     "dice": dice_score,
+    "dice_logits": dice_from_logits,
     "accuracy": accuracy,
     "f1": f1,
 }
