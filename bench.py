@@ -1,12 +1,16 @@
-"""Headline benchmark: images/sec/chip, ViT-UNet base, 224², full train step.
+"""Headline benchmark: images/sec/chip, ViT-UNet at 224², full train step,
+all three README presets (lite / base / large).
 
 Baseline (BASELINE.md): the reference's only measured TPU number is the TF
 notebook path — ~413 ms/step at global batch 64 on a v2-8, i.e. ~19.4
 images/sec/chip at 128² (ViT_UNet_TF_TPU.ipynb cell 23).  We report the
-train-step throughput of the canonical `base` model at the *larger* 224²
-resolution on one chip; vs_baseline is the ratio to 19.4 img/s/chip.
+train-step throughput at the *larger* 224² resolution on one chip;
+vs_baseline is the ratio to 19.4 img/s/chip.  The headline `value` is the
+flagship `base` preset; lite/large ride along in the same JSON line (the
+north-star asks images/sec/chip for all three, BASELINE.md:19).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"lite", "large", ...}.
 """
 from __future__ import annotations
 
@@ -24,19 +28,19 @@ import jax.numpy as jnp
 import optax
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 155.0 / 8.0  # TF-TPU notebook on v2-8
+BATCH = 64  # the reference's own global batch (v2-8 notebook, cell 23)
 
 
-def main() -> None:
+def measure_preset(name: str) -> float:
+    """Median train-step throughput (img/s/chip) for one preset."""
     from vit_unet_tpu.models.vit_unet import get_vit_unet
     from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
     from vit_unet_tpu.train.losses import mse
 
-    batch = 64  # the reference's own global batch (v2-8 notebook, cell 23)
     # flash_train: fused Pallas re-attention fwd+bwd (custom VJP, in-kernel
-    # dropout, frozen-BN head-mix).  2.1x the XLA path's step rate with
-    # equal-or-better convergence (see kernels/flash_reattention_train.py;
-    # convergence comparison in the commit adding it).
-    model = get_vit_unet("base", dtype="bfloat16",
+    # dropout).  bfloat16 params: ~10% over f32 params at equal convergence
+    # on the synthetic denoising check (docs/PERF.md).
+    model = get_vit_unet(name, dtype="bfloat16", param_dtype="bfloat16",
                          use_flash=True, flash_train=True)
     tx = optax.adamw(1e-4)
     variables = jax.jit(model.init)(jax.random.key(0),
@@ -46,7 +50,7 @@ def main() -> None:
                               rng=jax.random.key(1))
     steps = build_step_functions(model, tx, mse)
 
-    x = jax.random.normal(jax.random.key(2), (batch, 3, 224, 224), jnp.float32)
+    x = jax.random.normal(jax.random.key(2), (BATCH, 3, 224, 224), jnp.float32)
     data = {"x": x, "y": x * 0.9}
 
     # warmup / compile.  NOTE on methodology: under the axon tunnel backend,
@@ -67,13 +71,21 @@ def main() -> None:
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median
+    return BATCH / dt
 
-    img_per_sec = batch / dt
+
+def main() -> None:
+    results = {name: measure_preset(name) for name in ("lite", "base", "large")}
+    base = results["base"]
     print(json.dumps({
         "metric": "images/sec/chip, base 224^2 train step (bf16, flash)",
-        "value": round(img_per_sec, 2),
+        "value": round(base, 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        "vs_baseline": round(base / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        "lite": round(results["lite"], 2),
+        "large": round(results["large"], 2),
+        "lite_vs_baseline": round(results["lite"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        "large_vs_baseline": round(results["large"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
     }))
 
 

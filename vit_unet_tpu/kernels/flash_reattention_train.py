@@ -27,9 +27,19 @@ per-head-pair tile products mixed by ``m_eff`` —
     dV_hp = (sum_h2 m_eff[hp, h2] * A_h2)^T @ g_hp      (B_hp, one proj pass)
     dm_eff[hp, h2] = sum A_h2 ⊙ T_hp
 
-so the whole backward costs ~4.5x the forward's matmuls with zero N² HBM
-traffic.  Three kernels: a D/dm pass and a dq pass over (batch, q-tile)
-grids, and a dk/dv pass over (batch, k-tile).
+ONE kernel pass over a (batch, k-tile, q-tile) grid computes dk and dv
+(accumulated in scratch) plus per-k-tile dq partials (a thin HBM tensor
+summed over k tiles in XLA) — every (q, k) tile's scores/probabilities/
+dropout mask are recomputed exactly once in the whole backward, vs 3x in
+the original 3-pass design.  The softmax-dot correction D and dm_eff need
+no kernel at all: the forward saves the per-head normalised accumulator
+``o_norm_h2 = A_h2 @ V_cat`` as a residual, and
+
+    R[b,h2,n,hp] = Σ_d g_hp[n,d]·o_norm_h2[n, hp·dh+d] = Σ_m A_h2 ⊙ T_hp
+    D = Σ_hp m_eff[hp,·]·R,   dm_eff = Σ_{b,n} R
+
+— one cheap XLA einsum.  Residuals are (q, k, v, LSE, o_norm); no N² HBM
+traffic anywhere (the dq-partials tensor is N·nk·dh per head, not N²).
 
 Numerical equivalence (rate=0) against ``jax.grad`` of the XLA reference is
 tested in tests/test_kernels_train.py.
@@ -69,7 +79,7 @@ def _dropout_mask(seed_ref, rate: float, bi, h, qi, ki, nq: int, nk: int,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
-                o_ref, lse_ref, m_s, l_s, acc_s, *,
+                o_ref, lse_ref, onorm_ref, m_s, l_s, acc_s, *,
                 num_heads: int, n_valid: int, block_k: int, rate: float):
     bi = pl.program_id(0)
     qi = pl.program_id(1)
@@ -119,6 +129,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
             l = l_s[h2][:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_norm.append(acc_s[h2] * l_inv)            # (bq, proj)
+            # residual for the backward: A_h2 @ V_cat, normalised (and
+            # dropout-masked) — lets D and dm_eff come from one XLA einsum
+            # instead of a third QK-recompute kernel pass
+            onorm_ref[0, 0, h2] = o_norm[h2].astype(onorm_ref.dtype)
             lse_rows.append(
                 (m_s[h2][:, :1] + jnp.log(jnp.maximum(l, 1e-30))).T)
         vs = vsum_ref[0, 0][None, :]                    # (1, proj)
@@ -134,141 +148,26 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
 
 
 # ---------------------------------------------------------------------------
-# backward pass 1: D (softmax-dot correction) + dm_eff partials
-# ---------------------------------------------------------------------------
-
-def _bwd_d_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, m_ref,
-                  d_ref, dm_ref, d_s, dm_s, *,
-                  num_heads: int, n_valid: int, block_k: int, rate: float):
-    bi = pl.program_id(0)
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-    nq = pl.num_programs(1)
-    nk = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        d_s[...] = jnp.zeros_like(d_s)
-        dm_s[...] = jnp.zeros_like(dm_s)
-
-    block_q = q_ref.shape[2]
-    dh = q_ref.shape[3]
-    k_start = ki * block_k
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    row_ids = row_ids + qi * block_q
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
-    valid = (row_ids < n_valid) & (col_ids < n_valid)
-
-    g = g_ref[0]                                        # (bq, proj) f32
-    v = v_ref[0]                                        # (bk, proj)
-    # T_hp = g_hp @ v_hp^T — one proj-wide pass total
-    t_tiles = []
-    for hp in range(num_heads):
-        sl = slice(hp * dh, (hp + 1) * dh)
-        t_tiles.append(jax.lax.dot_general(
-            g[:, sl], v[:, sl].astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))         # (bq, bk)
-
-    a_tiles = []
-    for h2 in range(num_heads):
-        s = jax.lax.dot_general(
-            q_ref[0, h2], k_ref[0, h2], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        lse = lse_ref[0, 0, h2][:, None]                # (bq, 1)
-        p = jnp.exp(s - lse)
-        p = jnp.where(valid, p, 0.0)
-        a = p
-        if rate > 0.0:
-            a = p * _dropout_mask(seed_ref, rate, bi, h2, qi, ki, nq, nk,
-                                  num_heads, (block_q, block_k))
-        a_tiles.append(a)
-        da = jnp.zeros_like(a)
-        for hp in range(num_heads):
-            da = da + m_ref[hp, h2] * t_tiles[hp]
-        # D_h2 += rowsum(dA ⊙ A)
-        d_s[h2] = d_s[h2] + jnp.sum(da * a, axis=1, keepdims=True)
-
-    # dm_eff[hp, h2] += <T_hp, A_h2>_F — one (H, bq*bk) x (bq*bk, H) matmul
-    t_flat = jnp.concatenate(
-        [t.reshape(1, block_q * block_k) for t in t_tiles], axis=0)
-    a_flat = jnp.concatenate(
-        [a.reshape(1, block_q * block_k) for a in a_tiles], axis=0)
-    dm_s[...] = dm_s[...] + jax.lax.dot_general(
-        t_flat, a_flat, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # (H, H)
-
-    @pl.when(ki == nk - 1)
-    def _epilogue():
-        d_ref[0, 0] = jnp.concatenate(
-            [d_s[h][:, :1].T for h in range(num_heads)], axis=0)  # (H, bq)
-        dm_ref[0, 0] = dm_s[...]
-
-
-# ---------------------------------------------------------------------------
-# backward pass 2: dq
-# ---------------------------------------------------------------------------
-
-def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
-                   m_ref, dq_ref, dq_s, *,
-                   num_heads: int, n_valid: int, block_k: int, rate: float):
-    bi = pl.program_id(0)
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-    nq = pl.num_programs(1)
-    nk = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        dq_s[...] = jnp.zeros_like(dq_s)
-
-    block_q = q_ref.shape[2]
-    dh = q_ref.shape[3]
-    k_start = ki * block_k
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    row_ids = row_ids + qi * block_q
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
-    valid = (row_ids < n_valid) & (col_ids < n_valid)
-
-    g = g_ref[0]
-    v = v_ref[0]
-    t_tiles = []
-    for hp in range(num_heads):
-        sl = slice(hp * dh, (hp + 1) * dh)
-        t_tiles.append(jax.lax.dot_general(
-            g[:, sl], v[:, sl].astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
-
-    for h2 in range(num_heads):
-        s = jax.lax.dot_general(
-            q_ref[0, h2], k_ref[0, h2], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        lse = lse_ref[0, 0, h2][:, None]
-        p = jnp.exp(s - lse)
-        p = jnp.where(valid, p, 0.0)
-        da = jnp.zeros_like(p)
-        for hp in range(num_heads):
-            da = da + m_ref[hp, h2] * t_tiles[hp]
-        if rate > 0.0:
-            da = da * _dropout_mask(seed_ref, rate, bi, h2, qi, ki, nq, nk,
-                                    num_heads, (block_q, block_k))
-        d_row = d_in_ref[0, 0, h2][:, None]             # (bq, 1)
-        ds = p * (da - d_row)
-        dq_s[h2] = dq_s[h2] + jax.lax.dot(
-            ds.astype(k_ref.dtype), k_ref[0, h2],
-            preferred_element_type=jnp.float32)          # (bq, dh)
-
-    @pl.when(ki == nk - 1)
-    def _epilogue():
-        dq_ref[0, 0] = dq_s[...].astype(dq_ref.dtype)   # (H, bq, dh)
-
-
-# ---------------------------------------------------------------------------
-# backward pass 3: dk, dv (grid over k-tiles; inner loop over q-tiles)
+# backward: ONE kernel pass over (batch, k-tile, q-tile) computing dk, dv
+# and per-k-tile dq partials (summed over k tiles in XLA).  D and dm_eff
+# need no kernel pass at all — they fall out of the o_norm forward residual
+# in XLA (see _bwd) — so each (q, k) tile's scores/probabilities are
+# recomputed exactly once in the whole backward.
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
-                    m_ref, dk_ref, dv_ref, dk_s, dv_s, *,
-                    num_heads: int, n_valid: int, block_q: int, rate: float):
+                    m_ref, *rest,
+                    num_heads: int, n_valid: int, block_q: int, rate: float,
+                    bn_corr: bool = False):
+    if bn_corr:
+        # batch-stats BatchNorm mode: dA gains the stats-gradient correction
+        #   ΔdA_h2 = kappa_h2 + Σ_h3 G[h3, h2] · A_h3
+        # (kappa, G precomputed in XLA from the BN cotangents — see
+        # flash_reattention_train_bn's VJP)
+        g_mat_ref, kappa_ref = rest[0], rest[1]
+        dk_ref, dv_ref, dqp_ref, dk_s, dv_s = rest[2:]
+    else:
+        dk_ref, dv_ref, dqp_ref, dk_s, dv_s = rest
     bi = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
@@ -297,7 +196,9 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
             g[:, sl], v[:, sl].astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32))
 
-    a_tiles = []
+    # probabilities first (the bn correction needs every head's A before any
+    # ds); p = normalised pre-dropout, a = dropout-masked
+    p_tiles, a_tiles, masks = [], [], []
     for h2 in range(num_heads):
         s = jax.lax.dot_general(
             q_ref[0, h2], k_ref[0, h2], (((1,), (1,)), ((), ())),
@@ -309,18 +210,30 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
         if rate > 0.0:
             mask = _dropout_mask(seed_ref, rate, bi, h2, qi, ki, nq, nk,
                                  num_heads, (block_q, block_k))
+        p_tiles.append(p)
+        masks.append(mask)
         a_tiles.append(p * mask if mask is not None else p)
 
-        da = jnp.zeros_like(p)
+    for h2 in range(num_heads):
+        da = jnp.zeros((block_q, block_k), jnp.float32)
         for hp in range(num_heads):
             da = da + m_ref[hp, h2] * t_tiles[hp]
-        if mask is not None:
-            da = da * mask
+        if bn_corr:
+            da = da + kappa_ref[h2, 0]
+            for h3 in range(num_heads):
+                da = da + g_mat_ref[h3, h2] * a_tiles[h3]
+        if masks[h2] is not None:
+            da = da * masks[h2]
         d_row = d_in_ref[0, 0, h2][:, None]
-        ds = p * (da - d_row)
+        ds = p_tiles[h2] * (da - d_row)
         dk_s[h2] = dk_s[h2] + jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0, h2], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (bk, dh)
+        # dq partial for this k tile (full dq = Σ_k partials, reduced in XLA;
+        # padded rows have ds == 0 so the partials stay exact)
+        dqp_ref[0, 0, 0, h2] = jax.lax.dot(
+            ds.astype(k_ref.dtype), k_ref[0, h2],
+            preferred_element_type=jnp.float32).astype(dqp_ref.dtype)
 
     # dv_hp = B_hp^T @ g_hp, B_hp = sum_h2 m_eff[hp, h2] * A_h2
     for hp in range(num_heads):
@@ -362,12 +275,13 @@ def _fwd(q, k, v_cat, m_eff, c_eff, seed, *, num_heads, rate,
     grid = (batch, np_ // block_q, np_ // block_k)
     nq = np_ // block_q
 
-    out, lse = pl.pallas_call(
+    out, lse, onorm = pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads=num_heads, n_valid=n,
                           block_k=block_k, rate=rate),
         out_shape=(
             jax.ShapeDtypeStruct((batch, np_, proj), q.dtype),
             jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
+            jax.ShapeDtypeStruct((batch, nq, heads, block_q, proj), q.dtype),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -391,6 +305,8 @@ def _fwd(q, k, v_cat, m_eff, c_eff, seed, *, num_heads, rate,
                              lambda bi, qi, ki, *_: (bi, qi, 0)),
                 pl.BlockSpec((1, 1, num_heads, block_q),
                              lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
+                pl.BlockSpec((1, 1, num_heads, block_q, proj),
+                             lambda bi, qi, ki, *_: (bi, qi, 0, 0, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),
@@ -399,93 +315,61 @@ def _fwd(q, k, v_cat, m_eff, c_eff, seed, *, num_heads, rate,
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB physical VMEM; the 16 MiB default scoped budget
+            # rejects wide-proj blocks (o_norm residual) that fit comfortably
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32).reshape(1), q, k, v_cat, vsum,
       m_eff.astype(jnp.float32), c_eff.reshape(num_heads, 1).astype(jnp.float32))
-    # lse back to (B, H, np_)
-    lse = lse.transpose(0, 2, 1, 3).reshape(batch, heads, np_)
-    return out[:, :n, :], lse, vsum[:, 0, :]
+    # lse (B, nq, H, bq) and o_norm (B, nq, H, bq, proj) stay in the kernel's
+    # blocked layout — the backward consumes them as-is, avoiding a full
+    # HBM-shuffle transpose of the (proj-wide) o_norm residual
+    return out[:, :n, :], lse, vsum[:, 0, :], onorm
 
 
-def _bwd(q, k, v_cat, m_eff, seed, lse, g, *, num_heads, rate,
-         block_q, block_k, interpret):
+def _r_blocked(onorm, g_padded, batch, nq, block_q, heads, dh):
+    """R[·,h2,·,hp] = Σ_m A_h2 ⊙ T_hp from the o_norm residual — pure XLA.
+
+    With T_hp = g_hp @ v_hp^T and A_h2 the (normalised, dropout-masked)
+    probabilities: R = Σ_d g_hp[n,d]·o_norm_h2[n, hp·dh+d].  All in the
+    kernel's blocked layout (x = row-in-block): padded rows contribute
+    nothing because g is zero-padded — zero relayout of the proj-wide
+    residual.  Returns (B, nq, H2, bq, Hp)."""
+    o6 = onorm.astype(jnp.float32).reshape(
+        batch, nq, heads, block_q, heads, dh)
+    g_blk = g_padded.reshape(batch, nq, block_q, heads, dh)
+    return jnp.einsum("bqhxpd,bqxpd->bqhxp", o6, g_blk)
+
+
+def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
+         block_q, block_k, interpret, d_extra=None, bn_extra=None):
+    """Backward kernel pass.  ``d_extra``: optional (B, nq, H, bq) addition
+    to the softmax-dot correction D (batch-stats BN mode); ``bn_extra``:
+    optional (G (H,H), kappa (H,)) in-kernel dA correction coefficients."""
     batch, heads, n, dh = q.shape
     proj = v_cat.shape[-1]
+
     q, k, v_cat, np_ = _pad_inputs(q, k, v_cat, block_q, block_k)
     g = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)))
     nq, nk = np_ // block_q, np_ // block_k
-    lse_blocked = lse.reshape(batch, heads, nq, block_q).transpose(0, 2, 1, 3)
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
     m32 = m_eff.astype(jnp.float32)
 
-    common_in = [
-        pl.BlockSpec((1, heads, block_q, dh), lambda bi, qi, ki, *_: (bi, 0, qi, 0)),
-        pl.BlockSpec((1, heads, block_k, dh), lambda bi, qi, ki, *_: (bi, 0, ki, 0)),
-        pl.BlockSpec((1, block_k, proj), lambda bi, qi, ki, *_: (bi, ki, 0)),
-        pl.BlockSpec((1, block_q, proj), lambda bi, qi, ki, *_: (bi, qi, 0)),
-        pl.BlockSpec((1, 1, num_heads, block_q),
-                     lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
-    ]
+    # D (softmax-dot correction) + dm_eff via the o_norm residual — no
+    # kernel pass:  dm_eff[hp,h2] = Σ R,  D_h2 = Σ_hp m_eff[hp,h2]·R, landing
+    # directly in the (B, nq, H, bq) blocked shape the kernel consumes.
+    r = _r_blocked(onorm, g, batch, nq, block_q, heads, dh)
+    dm_eff = jnp.einsum("bqhxp->ph", r)                  # (Hp, H2)
+    d_arr = jnp.einsum("ph,bqhxp->bqhx", m32, r)         # (B, nq, H, bq)
+    if d_extra is not None:
+        d_arr = d_arr + d_extra
+
     m_spec = pl.BlockSpec((num_heads, num_heads), lambda *a, **_: (0, 0),
                           memory_space=pltpu.SMEM)
 
-    # pass 1: D + dm_eff partials
-    d_arr, dm_part = pl.pallas_call(
-        functools.partial(_bwd_d_kernel, num_heads=num_heads, n_valid=n,
-                          block_k=block_k, rate=rate),
-        out_shape=(
-            jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
-            jax.ShapeDtypeStruct((batch, nq, heads, heads), jnp.float32),
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(batch, nq, nk),
-            in_specs=common_in + [m_spec],
-            out_specs=(
-                pl.BlockSpec((1, 1, num_heads, block_q),
-                             lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
-                pl.BlockSpec((1, 1, num_heads, num_heads),
-                             lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),
-                pltpu.VMEM((num_heads, num_heads), jnp.float32),
-            ],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(seed_arr, q, k, v_cat, g, lse_blocked, m32)
-    dm_eff = jnp.sum(dm_part, axis=(0, 1))              # (H, H)
-
-    # pass 2: dq
-    dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, num_heads=num_heads, n_valid=n,
-                          block_k=block_k, rate=rate),
-        out_shape=jax.ShapeDtypeStruct((batch, nq, heads, block_q, dh),
-                                       jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(batch, nq, nk),
-            in_specs=common_in + [
-                pl.BlockSpec((1, 1, num_heads, block_q),
-                             lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
-                m_spec,
-            ],
-            out_specs=pl.BlockSpec((1, 1, num_heads, block_q, dh),
-                                   lambda bi, qi, ki, *_: (bi, qi, 0, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((num_heads, block_q, dh), jnp.float32),
-            ],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(seed_arr, q, k, v_cat, g, lse_blocked, d_arr, m32)
-    dq = dq.transpose(0, 2, 1, 3, 4).reshape(batch, heads, np_, dh)[:, :, :n]
-
-    # pass 3: dk + dv — grid over k tiles, loop over q tiles
+    # single kernel pass: dk + dv + dq partials — grid over k tiles, loop
+    # over q tiles; every (q, k) tile's scores are recomputed exactly once
     dkv_in = [
         pl.BlockSpec((1, heads, block_q, dh), lambda bi, ki, qi, *_: (bi, 0, qi, 0)),
         pl.BlockSpec((1, heads, block_k, dh), lambda bi, ki, qi, *_: (bi, 0, ki, 0)),
@@ -497,12 +381,22 @@ def _bwd(q, k, v_cat, m_eff, seed, lse, g, *, num_heads, rate,
                      lambda bi, ki, qi, *_: (bi, qi, 0, 0)),
         m_spec,
     ]
-    dk, dv = pl.pallas_call(
+    extra_args = []
+    if bn_extra is not None:
+        g_mat, kappa = bn_extra
+        dkv_in.append(m_spec)                            # G (H, H)
+        dkv_in.append(pl.BlockSpec((num_heads, 1), lambda *a, **_: (0, 0),
+                                   memory_space=pltpu.SMEM))
+        extra_args = [g_mat.astype(jnp.float32),
+                      kappa.reshape(num_heads, 1).astype(jnp.float32)]
+    dk, dv, dq_part = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, num_heads=num_heads, n_valid=n,
-                          block_q=block_q, rate=rate),
+                          block_q=block_q, rate=rate,
+                          bn_corr=bn_extra is not None),
         out_shape=(
             jax.ShapeDtypeStruct((batch, nk, heads, block_k, dh), jnp.float32),
             jax.ShapeDtypeStruct((batch, np_, proj), jnp.float32),
+            jax.ShapeDtypeStruct((batch, nk, nq, heads, block_q, dh), q.dtype),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -513,6 +407,8 @@ def _bwd(q, k, v_cat, m_eff, seed, lse, g, *, num_heads, rate,
                              lambda bi, ki, qi, *_: (bi, ki, 0, 0, 0)),
                 pl.BlockSpec((1, block_k, proj),
                              lambda bi, ki, qi, *_: (bi, ki, 0)),
+                pl.BlockSpec((1, 1, 1, num_heads, block_q, dh),
+                             lambda bi, ki, qi, *_: (bi, ki, qi, 0, 0, 0)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((num_heads, block_k, dh), jnp.float32),
@@ -520,11 +416,16 @@ def _bwd(q, k, v_cat, m_eff, seed, lse, g, *, num_heads, rate,
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MiB physical VMEM; the 16 MiB default scoped budget
+            # rejects wide-proj blocks (o_norm residual) that fit comfortably
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(seed_arr, q, k, v_cat, g, lse_blocked, d_arr, m32)
+    )(seed_arr, q, k, v_cat, g, lse_blocked, d_arr, m32, *extra_args)
     dk = dk.transpose(0, 2, 1, 3, 4).reshape(batch, heads, np_, dh)[:, :, :n]
     dv = dv[:, :n, :]
+    dq = jnp.sum(dq_part.astype(jnp.float32), axis=1)    # (B, nq, H, bq, dh)
+    dq = dq.transpose(0, 2, 1, 3, 4).reshape(batch, heads, np_, dh)[:, :, :n]
     return dq, dk, dv, dm_eff
 
 
@@ -539,24 +440,25 @@ def flash_reattention_train(q, k, v_cat, m_eff, c_eff, seed,
     c_eff: (H,) bias; seed: int32 scalar for the in-kernel dropout PRNG.
     Returns (B, N, H*dh).
     """
-    out, _, _ = _fwd(q, k, v_cat, m_eff, c_eff, seed, num_heads=num_heads,
-                     rate=rate, block_q=block_q, block_k=block_k,
-                     interpret=interpret)
+    out, _, _, _ = _fwd(q, k, v_cat, m_eff, c_eff, seed, num_heads=num_heads,
+                        rate=rate, block_q=block_q, block_k=block_k,
+                        interpret=interpret)
     return out
 
 
 def _vjp_fwd(q, k, v_cat, m_eff, c_eff, seed,
              num_heads, rate, block_q, block_k, interpret):
-    out, lse, vsum = _fwd(q, k, v_cat, m_eff, c_eff, seed,
-                          num_heads=num_heads, rate=rate, block_q=block_q,
-                          block_k=block_k, interpret=interpret)
-    return out, (q, k, v_cat, m_eff, c_eff, seed, lse, vsum)
+    out, lse, vsum, onorm = _fwd(q, k, v_cat, m_eff, c_eff, seed,
+                                 num_heads=num_heads, rate=rate,
+                                 block_q=block_q, block_k=block_k,
+                                 interpret=interpret)
+    return out, (q, k, v_cat, m_eff, c_eff, seed, lse, vsum, onorm)
 
 
 def _vjp_bwd(num_heads, rate, block_q, block_k, interpret, res, g):
-    q, k, v_cat, m_eff, c_eff, seed, lse, vsum = res
+    q, k, v_cat, m_eff, c_eff, seed, lse, vsum, onorm = res
     dh = q.shape[-1]
-    dq, dk, dv, dm_eff = _bwd(q, k, v_cat, m_eff, seed, lse, g,
+    dq, dk, dv, dm_eff = _bwd(q, k, v_cat, m_eff, seed, lse, onorm, g,
                               num_heads=num_heads, rate=rate,
                               block_q=block_q, block_k=block_k,
                               interpret=interpret)
@@ -573,3 +475,303 @@ def _vjp_bwd(num_heads, rate, block_q, block_k, interpret, res, g):
 
 
 flash_reattention_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# batch-stats BatchNorm mode — EXACT reference train-step semantics
+# ---------------------------------------------------------------------------
+#
+# The reference's only stateful layer is the BatchNorm over the head-mixed
+# attention maps (torch/model.py:136,159), which trains on *batch*
+# statistics.  ``flash_reattention_train`` freezes them (running stats); this
+# mode computes them exactly, still without materialising the (N, N) map:
+#
+# forward (2 kernel sweeps + XLA):
+#   1. _stats_kernel: per-row sums of the dropout-masked probabilities,
+#        S_h[n]      = Σ_m A_h[n, m]
+#        C_h2h3[n]   = Σ_m A_h2[n, m] · A_h3[n, m]
+#      (online-softmax rescaling, all H probability tiles live per k step);
+#   2. XLA: μ, σ² of the conv-mixed map  ĉ_h = Σ_h2 W[h,h2]·A_h2 + cb_h
+#      follow from ΣS and ΣC:  Σĉ = W·ΣS + cnt·cb,
+#      Σĉ² = Σ W W ΣC + 2·cb·W·ΣS + cnt·cb²;  fold (W, cb, γ, β, μ, σ²)
+#      into the (H, H) affine exactly as the eval fold does;
+#   3. the ordinary forward kernel applies the folded affine.
+#
+# backward (1 kernel sweep + XLA): holding stats fixed it is the ordinary
+# fused backward with the batch-stat affine.  The stats' own gradient
+# (∂L/∂μ, ∂L/∂σ² via the fold, obtained with jax.vjp) adds
+#   dĉ_stats_h[n,m] = e1_h + e2_h·ĉ_h[n,m],
+#       e1 = (u − 2wμ)/cnt,  e2 = 2w/cnt
+# which, pushed through the conv mix, is  ΔdA_h2 = κ_h2 + Σ_h3 G[h3,h2]·A_h3
+# with κ_h2 = Σ_h W[h,h2](e1_h + e2_h·cb_h), G[h3,h2] = Σ_h e2_h·W[h,h2]·W[h,h3]
+# — one extra in-kernel mix (bn_corr) plus a D correction computed from the
+# per-row S/C residuals in XLA.  Direct ∂(μ,σ²)/∂(W, cb) terms are closed-form
+# in ΣS/ΣC.  Gradient parity vs flax BatchNorm(use_running_average=False) is
+# tested in tests/test_kernels_train.py.
+
+
+def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
+                  m_s, l_s, ps_s, cc_s, p_s, *,
+                  num_heads: int, n_valid: int, block_k: int, rate: float):
+    bi = pl.program_id(0)
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nq = pl.num_programs(1)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        ps_s[...] = jnp.zeros_like(ps_s)
+        cc_s[...] = jnp.zeros_like(cc_s)
+
+    block_q = q_ref.shape[2]
+    k_start = ki * block_k
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+    key_mask = col_ids < n_valid
+
+    alphas = []
+    for h in range(num_heads):
+        s = jax.lax.dot_general(
+            q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(key_mask, s, NEG_INF)
+        m_prev = m_s[h]
+        l_prev = l_s[h]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])   # (bq, 1)
+        p = jnp.exp(s - m_next[:, :1])
+        l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_s[h] = m_next
+        if rate > 0.0:
+            p = p * _dropout_mask(seed_ref, rate, bi, h, qi, ki, nq, nk,
+                                  num_heads, (block_q, block_k))
+        p_s[h] = p                                       # dropout-masked
+        ps_s[h] = alpha * ps_s[h] + jnp.sum(p, axis=1, keepdims=True)
+        alphas.append(alpha)
+
+    # cross sums: cc_s[h2][:, h3] += Σ_m A_h2 ⊙ A_h3 (relative to the
+    # running maxima, so rescale by alpha_h2 · alpha_h3 per step)
+    alpha_row = jnp.concatenate(
+        alphas + [jnp.ones((block_q, 128 - num_heads), jnp.float32)], axis=1)
+    for h2 in range(num_heads):
+        new = jnp.concatenate(
+            [jnp.sum(p_s[h2] * p_s[h3], axis=1, keepdims=True)
+             for h3 in range(num_heads)]
+            + [jnp.zeros((block_q, 128 - num_heads), jnp.float32)], axis=1)
+        cc_s[h2] = alphas[h2] * alpha_row * cc_s[h2] + new
+
+    @pl.when(ki == nk - 1)
+    def _epilogue():
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0) + qi * block_q
+        row_valid = row_ids < n_valid                    # (bq, 1)
+        linvs = []
+        s_rows = []
+        for h in range(num_heads):
+            l = l_s[h][:, :1]
+            linv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            linvs.append(linv)
+            sval = jnp.where(row_valid, ps_s[h][:, :1] * linv, 0.0)
+            s_rows.append(sval.T)                        # (1, bq)
+        s_ref[0, 0] = jnp.concatenate(s_rows, axis=0)    # (H, bq)
+        for h2 in range(num_heads):
+            rows = []
+            for h3 in range(num_heads):
+                cval = cc_s[h2][:, h3:h3 + 1] * linvs[h2] * linvs[h3]
+                rows.append(jnp.where(row_valid, cval, 0.0).T)
+            c_ref[0, 0, h2] = jnp.concatenate(rows, axis=0)  # (H3, bq)
+
+
+def _stats(q, k, seed, *, num_heads, rate, block_q, block_k, interpret):
+    """Per-row probability sums: S (B, nq, H, bq), C (B, nq, H, H, bq)."""
+    batch, heads, n, dh = q.shape
+    n_pad = -n % math.lcm(block_q, block_k)
+    if n_pad:
+        pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        q = jnp.pad(q, pad4)
+        k = jnp.pad(k, pad4)
+    np_ = n + n_pad
+    nq, nk = np_ // block_q, np_ // block_k
+    return pl.pallas_call(
+        functools.partial(_stats_kernel, num_heads=num_heads, n_valid=n,
+                          block_k=block_k, rate=rate),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
+            jax.ShapeDtypeStruct((batch, nq, heads, heads, block_q),
+                                 jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, heads, block_q, dh),
+                             lambda bi, qi, ki, *_: (bi, 0, qi, 0)),
+                pl.BlockSpec((1, heads, block_k, dh),
+                             lambda bi, qi, ki, *_: (bi, 0, ki, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, heads, block_q),
+                             lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
+                pl.BlockSpec((1, 1, heads, heads, block_q),
+                             lambda bi, qi, ki, *_: (bi, qi, 0, 0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # m
+                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # l
+                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # ps
+                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # cc
+                pltpu.VMEM((num_heads, block_q, block_k), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32).reshape(1), q, k)
+
+
+def _bn_moments(s_rows, c_rows, conv_m, conv_c, n, batch):
+    """(μ, σ², ΣS, ΣC) of ĉ = Σ_h2 W[·,h2]·A_h2 + cb over (B, N, M).
+
+    Moments are taken about cb (``ĉ − cb = W·A`` exactly): the naive
+    E[ĉ²] − μ² cancels catastrophically in f32 because μ ≈ cb dominates the
+    deviation, costing ~3 digits of variance; centred, E[(W·A)²] and
+    (μ − cb)² are the same scale as the variance itself."""
+    cnt = batch * n * n
+    ssum = jnp.sum(s_rows, axis=(0, 1, 3))               # (H,)
+    csum = jnp.sum(c_rows, axis=(0, 1, 4))               # (H2, H3)
+    w = conv_m.astype(jnp.float32)
+    cb = conv_c.astype(jnp.float32)
+    dev = (w @ ssum) / cnt                               # μ − cb  (H,)
+    mu = dev + cb
+    var = jnp.einsum("ha,hb,ab->h", w, w, csum) / cnt - dev * dev
+    return mu, var, ssum, csum
+
+
+def _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
+               num_heads, rate, block_q, block_k, interpret,
+               eps, reatten_scale):
+    from vit_unet_tpu.kernels.flash_reattention import fold_reattention_compact
+
+    n = q.shape[2]
+    s_rows, c_rows = _stats(q, k, seed, num_heads=num_heads, rate=rate,
+                            block_q=block_q, block_k=block_k,
+                            interpret=interpret)
+    mu, var, _, _ = _bn_moments(s_rows, c_rows, conv_m, conv_c, n, q.shape[0])
+    m_eff, c_eff = fold_reattention_compact(
+        conv_m, conv_c, gamma, beta, mu, var, eps=eps,
+        reatten_scale=reatten_scale)
+    out, lse, vsum, onorm = _fwd(q, k, v_cat, m_eff, c_eff, seed,
+                                 num_heads=num_heads, rate=rate,
+                                 block_q=block_q, block_k=block_k,
+                                 interpret=interpret)
+    return out, mu, var, (s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+def flash_reattention_train_bn(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
+                               num_heads, rate=0.0, block_q=128, block_k=128,
+                               interpret=False, eps=1e-5, reatten_scale=1.0):
+    """Fused re-attention training step with EXACT batch-stats BatchNorm.
+
+    conv_m: (H, H) head-mix conv matrix [h_out, h_in]; conv_c: (H,) conv
+    bias; gamma/beta: (H,) BN affine.  Returns (out (B, N, H·dh), μ (H,),
+    σ² (H,)) — μ/σ² are the batch moments for the caller's running-average
+    update (flax BatchNorm convention: biased variance).
+    """
+    out, mu, var, _ = _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta,
+                                 seed, num_heads, rate, block_q, block_k,
+                                 interpret, eps, reatten_scale)
+    return out, mu, var
+
+
+def _bn_vjp_fwd(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
+                num_heads, rate, block_q, block_k, interpret, eps,
+                reatten_scale):
+    out, mu, var, aux = _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta,
+                                   seed, num_heads, rate, block_q, block_k,
+                                   interpret, eps, reatten_scale)
+    s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff = aux
+    return (out, mu, var), (q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
+                            s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff,
+                            mu, var)
+
+
+def _bn_vjp_bwd(num_heads, rate, block_q, block_k, interpret, eps,
+                reatten_scale, res, cots):
+    from vit_unet_tpu.kernels.flash_reattention import fold_reattention_compact
+
+    (q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
+     s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff, mu, var) = res
+    g, g_mu, g_var = cots
+    batch, heads, n, dh = q.shape
+    cnt = batch * n * n
+    w32 = conv_m.astype(jnp.float32)
+    cb32 = conv_c.astype(jnp.float32)
+
+    # --- fixed-stats cotangents (affine part) --------------------------------
+    np_ = n + (-n % math.lcm(block_q, block_k))
+    nq = np_ // block_q
+    g32p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)))
+    r = _r_blocked(onorm, g32p, batch, nq, block_q, heads, dh)
+    dm_eff = jnp.einsum("bqhxp->ph", r)                  # (Hp, H2)
+    gsum = jnp.sum(g.astype(jnp.float32), axis=1)        # (B, proj)
+    dc_eff = jnp.sum((gsum * vsum.astype(jnp.float32)).reshape(
+        batch, heads, dh), axis=(0, 2))                  # (H,)
+
+    # --- cotangents into (W, cb, γ, β, μ, σ²) through the fold ---------------
+    fold = lambda cm, cc, ga, be, m_, v_: fold_reattention_compact(
+        cm, cc, ga, be, m_, v_, eps=eps, reatten_scale=reatten_scale)
+    fold_out, fold_vjp = jax.vjp(fold, conv_m, conv_c, gamma, beta, mu, var)
+    # cotangent dtypes must match the fold's outputs (which promote to f32
+    # when bf16 params mix with the f32 batch moments)
+    d_cm, d_cc, d_ga, d_be, u, wv = fold_vjp(
+        (dm_eff.astype(fold_out[0].dtype), dc_eff.astype(fold_out[1].dtype)))
+    u = u.astype(jnp.float32) + g_mu.astype(jnp.float32)
+    wv = wv.astype(jnp.float32) + g_var.astype(jnp.float32)
+
+    # --- stats-gradient correction coefficients ------------------------------
+    e1 = (u - 2.0 * wv * mu) / cnt                       # (H,)
+    e2 = 2.0 * wv / cnt                                  # (H,)
+    kappa = jnp.einsum("hg,h->g", w32, e1 + e2 * cb32)   # (H2,)
+    g_mat = jnp.einsum("hg,h,hf->fg", w32, e2, w32)      # (H3, H2)
+
+    # D correction: Σ_m ΔdA_h2 ⊙ A_h2 per row, from the S/C row residuals
+    #   = κ_h2·S_h2[n] + Σ_h3 G[h3,h2]·C_h3h2[n]
+    d_extra = (jnp.einsum("h,bqhx->bqhx", kappa, s_rows)
+               + jnp.einsum("fh,bqfhx->bqhx", g_mat, c_rows))
+
+    dq, dk, dv, _ = _bwd(q, k, v_cat, m_eff, seed, lse, onorm, g,
+                         num_heads=num_heads, rate=rate, block_q=block_q,
+                         block_k=block_k, interpret=interpret,
+                         d_extra=d_extra, bn_extra=(g_mat, kappa))
+    c_rep = jnp.repeat(c_eff.astype(jnp.float32), dh)
+    dv = dv + (c_rep[None, :] * gsum)[:, None, :]
+
+    # --- direct ∂(μ, σ²)/∂(W, cb) terms --------------------------------------
+    ssum = jnp.sum(s_rows, axis=(0, 1, 3))               # (H,)
+    csum = jnp.sum(c_rows, axis=(0, 1, 4))               # (H2, H3)
+    #   ∂μ_h/∂W[h,h2] = ΣS_h2/cnt
+    #   ∂σ²_h/∂W[h,h2] = 2(Σ_h3 W[h,h3]·ΣC_h3h2 + cb_h·ΣS_h2 − μ_h·ΣS_h2)/cnt
+    d_cm = d_cm.astype(jnp.float32) + (
+        u[:, None] * ssum[None, :] / cnt
+        + 2.0 * wv[:, None] * (w32 @ csum
+                               + (cb32 - mu)[:, None] * ssum[None, :]) / cnt)
+    #   ∂μ/∂cb = 1, ∂σ²/∂cb = 0 (shift-invariant).  The fold's a·cb term and
+    #   −a·μ's cotangent cancel EXACTLY (batch normalisation removes any
+    #   uniform shift of the map, so the output is cb-invariant); assembling
+    #   d_cc = fold_dcb + u·1 would subtract two large equal f32 quantities
+    #   and keep only their rounding noise — use the analytic result: only
+    #   the direct μ-output cotangent survives.
+    del d_cc
+    d_cc = g_mu.astype(jnp.float32)
+
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v_cat.dtype),
+            d_cm.astype(conv_m.dtype), d_cc.astype(conv_c.dtype),
+            d_ga.astype(gamma.dtype), d_be.astype(beta.dtype), None)
+
+
+flash_reattention_train_bn.defvjp(_bn_vjp_fwd, _bn_vjp_bwd)

@@ -46,6 +46,7 @@ class ViTClassifierConfig:
     qkv_kernel: int = 3
     ln_mode: str = "shared"
     use_flash: bool = False
+    flash_train: bool = False
     dtype: str = "float32"
     param_dtype: str = "float32"
 
@@ -91,7 +92,7 @@ class ViTClassifier(nn.Module):
                 attn_drop=cfg.attn_drop, proj_drop=cfg.proj_drop,
                 linear_drop=cfg.linear_drop, qkv_kernel=cfg.qkv_kernel,
                 ln_mode=cfg.ln_mode, use_flash=cfg.use_flash,
-                dtype=dt, param_dtype=pdt)
+                flash_train=cfg.flash_train, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)
             for _ in range(cfg.depth_te)]
         self.Head = [

@@ -169,11 +169,20 @@ class ReAttention(nn.Module):
         """Adaptive kernel tile size: 256 wins ~20% compute at the fine
         levels (small proj, many tokens — measured at the base bottleneck);
         128 keeps VMEM scratch (H, block, proj) bounded for wide-proj coarse
-        levels and avoids 2x padding waste for short sequences.  256 is
-        restricted to per-head dim <= 32 — Mosaic crashes on e.g.
-        (H=8, dh=48, block 256) multi-tile grids (TPU shape sweep)."""
+        levels and avoids 2x padding waste for short sequences; 64 for the
+        very wide per-head dims (dh > 192, the 3072-proj coarse level) where
+        (H, block, proj) f32 accumulators would blow even the raised VMEM
+        budget.  256 is restricted to per-head dim <= 32 — Mosaic crashes on
+        e.g. (H=8, dh=48, block 256) multi-tile grids — and to <= 8 heads
+        (the 16-head envelope is block-128-validated; TPU shape sweeps)."""
         dh = self.dim // self.num_heads
-        return 256 if (self.dim <= 512 and n >= 256 and dh <= 32) else 128
+        if dh > 192:
+            return 64
+        if (self.dim <= 256 and n >= 512 and dh <= 32
+                and self.num_heads <= 8):
+            return 512   # long fine levels: 2x over 256 tiles (TPU hunt)
+        return 256 if (self.dim <= 512 and n >= 256 and dh <= 32
+                       and self.num_heads <= 8) else 128
 
     @staticmethod
     def _interpret() -> bool:
@@ -183,16 +192,7 @@ class ReAttention(nn.Module):
         platform = dev.platform if dev is not None else jax.default_backend()
         return platform != "tpu"
 
-    def _attend_flash_train(self, q, k, v):
-        """Training-path fused kernel: in-kernel attention dropout +
-        frozen-BN head-mix, custom VJP (no N² HBM residuals)."""
-        from vit_unet_tpu.kernels.flash_reattention_train import (
-            flash_reattention_train)
-        m_eff, c_eff = self._folded_compact()
-        v_cat = merge_heads(v)
-        interp = self._interpret()
-        # in-kernel PRNG is TPU-only: interpret mode runs dropout-free
-        rate = 0.0 if interp else float(self.attn_drop)
+    def _flash_seed(self, rate: float):
         if rate > 0.0:
             if not self.has_rng("dropout"):
                 # match flax nn.Dropout's contract: dropout without an rng
@@ -201,25 +201,72 @@ class ReAttention(nn.Module):
                     "flash_train attention dropout needs an rng: pass "
                     "rngs={'dropout': key} to apply() (attn_drop="
                     f"{self.attn_drop})")
-            seed = jax.random.randint(self.make_rng("dropout"), (),
+            return jax.random.randint(self.make_rng("dropout"), (),
                                       0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
-        else:
-            seed = jnp.zeros((), jnp.int32)
+        return jnp.zeros((), jnp.int32)
+
+    def _attend_flash_train(self, q, k, v, *, use_running_average: bool):
+        """Training-path fused kernels (custom VJP, no N² HBM residuals).
+
+        ``use_running_average=False`` (the normal train step) runs the
+        batch-stats kernel — EXACT reference semantics: the head-mix
+        BatchNorm normalises with this batch's own moments, the running
+        averages are updated, and the gradient includes the
+        through-the-statistics terms (flash_reattention_train_bn).
+        ``True`` runs the cheaper frozen-running-stats variant."""
+        from vit_unet_tpu.kernels.flash_reattention_train import (
+            flash_reattention_train, flash_reattention_train_bn)
+        v_cat = merge_heads(v)
+        interp = self._interpret()
+        # in-kernel PRNG is TPU-only: interpret mode runs dropout-free
+        rate = 0.0 if interp else float(self.attn_drop)
+        seed = self._flash_seed(rate)
         blk = self._flash_block(q.shape[2])
-        return flash_reattention_train(
+        if use_running_average:
+            m_eff, c_eff = self._folded_compact()
+            return flash_reattention_train(
+                (q * self.scale).astype(self.dtype), k.astype(self.dtype),
+                v_cat, m_eff, c_eff, seed, self.num_heads, rate,
+                blk, blk, interp)
+        # touch both layers so the param tree matches the XLA path
+        dummy = jnp.zeros((1, 1, 1, self.num_heads), self.dtype)
+        _ = self.var_norm(self.reatten_matrix(dummy), use_running_average=True)
+        cp = self.reatten_matrix.variables["params"]
+        bp = self.var_norm.variables["params"]
+        out, mu, var = flash_reattention_train_bn(
             (q * self.scale).astype(self.dtype), k.astype(self.dtype),
-            v_cat, m_eff, c_eff, seed, self.num_heads, rate,
-            blk, blk, interp)
+            v_cat, cp["kernel"].reshape(self.num_heads, self.num_heads).T,
+            cp["bias"], bp["scale"], bp["bias"], seed, self.num_heads, rate,
+            blk, blk, interp, 1e-5,
+            self.scale if self.transform_scale else 1.0)
+        # feed the exact batch moments into var_norm's running averages via
+        # a 2-point tensor whose batch statistics are (mu, var) — flax's EMA
+        # update then matches the unsharded XLA path bit-for-bit
+        s = jnp.sqrt(jnp.maximum(var, 0.0))
+        stat = jnp.stack([mu - s, mu + s])[:, None, None, :]
+        _ = self.var_norm(jax.lax.stop_gradient(stat.astype(self.dtype)),
+                          use_running_average=False)
+        return out
 
     @property
     def _flash_ok(self) -> bool:
-        """Flash kernels pay off at the fine hierarchy levels (many tokens,
-        small per-head dim).  Gated to the envelope validated by the TPU
-        shape sweep: per-head dim <= 128 (wide-head coarse levels are
-        matmul-bound anyway) and <= 8 heads (Mosaic miscompiles several
-        16-head multi-tile grids).  Everything else takes the XLA path."""
-        return (self.dim // self.num_heads <= 128 and self.num_heads <= 8)
+        """Envelope validated by TPU shape sweeps (fwd + train custom-VJP,
+        rel err <= ~7e-3 vs XLA on-chip, grads included):
+
+        * <= 8 heads with per-head dim <= 384 — every ViT-UNet level of
+          every preset, including the 3072-proj coarse one (block 64);
+        * <= 16 heads with per-head dim <= 48 — both ViT-classifier levels.
+
+        (Round 1 had to exclude dh > 128 and 16 heads: the old 3-pass
+        backward's D/dm kernel crashed the Mosaic compiler there.  The fused
+        single-pass backward + o_norm-residual redesign compiles and passes
+        gradient checks across the whole sweep.)  Anything wider takes the
+        XLA path."""
+        dh = self.dim // self.num_heads
+        if self.num_heads <= 8:
+            return dh <= 384
+        return self.num_heads <= 16 and dh <= 48
 
     def _sp_mesh_for(self, n: int):
         """The mesh to sequence-parallelise over, or None if SP doesn't
@@ -297,8 +344,12 @@ class ReAttention(nn.Module):
             return self._attend_flash(q, k, v)
         if (self.use_flash and self.flash_train and self._flash_ok
                 and self.apply_transform and not deterministic
-                and not self.is_initializing()):
-            return self._attend_flash_train(q, k, v)
+                and not self.is_initializing()
+                # batch-stats mode (use_running_average=False) is validated
+                # for <= 8 heads; wider falls through to the XLA path
+                and (use_running_average or self.num_heads <= 8)):
+            return self._attend_flash_train(
+                q, k, v, use_running_average=use_running_average)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=self.dtype) * self.scale
         attn = jax.nn.softmax(attn, axis=-1)
