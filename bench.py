@@ -31,8 +31,14 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 155.0 / 8.0  # TF-TPU notebook on v2-8
 BATCH = 64  # the reference's own global batch (v2-8 notebook, cell 23)
 
 
-def measure_preset(name: str) -> float:
-    """Median train-step throughput (img/s/chip) for one preset."""
+def measure_preset(name: str, frozen_bn: bool = False) -> float:
+    """Median train-step throughput (img/s/chip) for one preset.
+
+    ``frozen_bn=False`` (the headline) trains with EXACT reference
+    semantics — the head-mix BatchNorm uses this batch's own statistics,
+    with full through-the-statistics gradients.  ``True`` is the documented
+    ~25%-faster frozen-running-stats mode.
+    """
     from vit_unet_tpu.models.vit_unet import get_vit_unet
     from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
     from vit_unet_tpu.train.losses import mse
@@ -41,7 +47,8 @@ def measure_preset(name: str) -> float:
     # dropout).  bfloat16 params: ~10% over f32 params at equal convergence
     # on the synthetic denoising check (docs/PERF.md).
     model = get_vit_unet(name, dtype="bfloat16", param_dtype="bfloat16",
-                         use_flash=True, flash_train=True)
+                         use_flash=True, flash_train=True,
+                         flash_frozen_bn=frozen_bn)
     tx = optax.adamw(1e-4)
     variables = jax.jit(model.init)(jax.random.key(0),
                                     jnp.zeros((1, 3, 224, 224)))
@@ -76,9 +83,12 @@ def measure_preset(name: str) -> float:
 
 def main() -> None:
     results = {name: measure_preset(name) for name in ("lite", "base", "large")}
+    fast = {name: measure_preset(name, frozen_bn=True)
+            for name in ("lite", "base", "large")}
     base = results["base"]
     print(json.dumps({
-        "metric": "images/sec/chip, base 224^2 train step (bf16, flash)",
+        "metric": "images/sec/chip, base 224^2 train step "
+                  "(bf16, flash, exact batch-stats BN)",
         "value": round(base, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(base / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
@@ -86,6 +96,12 @@ def main() -> None:
         "large": round(results["large"], 2),
         "lite_vs_baseline": round(results["lite"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
         "large_vs_baseline": round(results["large"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        # frozen-running-stats fast mode (flash_frozen_bn=True)
+        "base_fast": round(fast["base"], 2),
+        "lite_fast": round(fast["lite"], 2),
+        "large_fast": round(fast["large"], 2),
+        "base_fast_vs_baseline": round(fast["base"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        "lite_fast_vs_baseline": round(fast["lite"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
     }))
 
 

@@ -330,3 +330,48 @@ def test_flash_train_bn_module_matches_xla():
         assert np.abs(a - b).max() <= tol, (
             f"param grad mismatch at {jax.tree_util.keystr(kp)}: "
             f"{np.abs(a - b).max():.3e} > {tol:.3e}")
+
+
+def test_flash_frozen_bn_flag():
+    """flash_frozen_bn=True keeps the round-1 fast semantics during
+    training: head-mix BN frozen at running statistics (outputs match the
+    XLA path evaluated with use_running_average=True) and no running-stat
+    updates; the default (False) updates them."""
+    from vit_unet_tpu.nn.reattention import ReAttention
+
+    heads, p, c = 4, 4, 3
+    dim = c * p * p
+    n, batch = 96, 2
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32) * 4.0
+
+    kw = dict(dim=dim, num_channels=c, num_heads=heads, apply_transform=True,
+              attn_drop=0.0, proj_drop=0.0)
+    ref_mod = ReAttention(use_flash=False, **kw)
+    frozen_mod = ReAttention(use_flash=True, flash_train=True,
+                             flash_frozen_bn=True, **kw)
+    exact_mod = ReAttention(use_flash=True, flash_train=True, **kw)
+    variables = ref_mod.init(jax.random.key(0), x)
+
+    def run(mod, **kw2):
+        return mod.apply(variables, x, deterministic=False,
+                         rngs={"dropout": jax.random.key(1)},
+                         mutable=["batch_stats"], **kw2)
+
+    # frozen flag: output == XLA with frozen (running) stats
+    out_ref_frozen, _ = run(ref_mod, use_running_average=True)
+    out_frozen, upd_frozen = run(frozen_mod, use_running_average=False)
+    np.testing.assert_allclose(np.asarray(out_frozen),
+                               np.asarray(out_ref_frozen),
+                               rtol=5e-4, atol=5e-4)
+    # ... and leaves the running statistics untouched
+    for key in ("mean", "var"):
+        np.testing.assert_array_equal(
+            np.asarray(upd_frozen["batch_stats"]["var_norm"][key]),
+            np.asarray(variables["batch_stats"]["var_norm"][key]))
+
+    # default exact mode updates them
+    _, upd_exact = run(exact_mod, use_running_average=False)
+    assert np.abs(np.asarray(upd_exact["batch_stats"]["var_norm"]["var"])
+                  - np.asarray(variables["batch_stats"]["var_norm"]["var"])
+                  ).max() > 0

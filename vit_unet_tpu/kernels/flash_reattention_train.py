@@ -553,13 +553,18 @@ def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
         alphas.append(alpha)
 
     # cross sums: cc_s[h2][:, h3] += Σ_m A_h2 ⊙ A_h3 (relative to the
-    # running maxima, so rescale by alpha_h2 · alpha_h3 per step)
+    # running maxima, so rescale by alpha_h2 · alpha_h3 per step).
+    # C is symmetric — compute the upper triangle only (~half the VPU work)
     alpha_row = jnp.concatenate(
         alphas + [jnp.ones((block_q, 128 - num_heads), jnp.float32)], axis=1)
+    prods = {}
+    for h2 in range(num_heads):
+        for h3 in range(h2, num_heads):
+            prods[(h2, h3)] = jnp.sum(p_s[h2] * p_s[h3], axis=1,
+                                      keepdims=True)
     for h2 in range(num_heads):
         new = jnp.concatenate(
-            [jnp.sum(p_s[h2] * p_s[h3], axis=1, keepdims=True)
-             for h3 in range(num_heads)]
+            [prods[(min(h2, h3), max(h2, h3))] for h3 in range(num_heads)]
             + [jnp.zeros((block_q, 128 - num_heads), jnp.float32)], axis=1)
         cc_s[h2] = alphas[h2] * alpha_row * cc_s[h2] + new
 

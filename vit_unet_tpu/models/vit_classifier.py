@@ -47,6 +47,7 @@ class ViTClassifierConfig:
     ln_mode: str = "shared"
     use_flash: bool = False
     flash_train: bool = False
+    flash_frozen_bn: bool = False
     dtype: str = "float32"
     param_dtype: str = "float32"
 
@@ -92,7 +93,8 @@ class ViTClassifier(nn.Module):
                 attn_drop=cfg.attn_drop, proj_drop=cfg.proj_drop,
                 linear_drop=cfg.linear_drop, qkv_kernel=cfg.qkv_kernel,
                 ln_mode=cfg.ln_mode, use_flash=cfg.use_flash,
-                flash_train=cfg.flash_train, dtype=dt, param_dtype=pdt)
+                flash_train=cfg.flash_train,
+                flash_frozen_bn=cfg.flash_frozen_bn, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)
             for _ in range(cfg.depth_te)]
         self.Head = [

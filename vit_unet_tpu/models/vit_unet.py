@@ -61,8 +61,11 @@ class ViTUNetConfig:
                                      # restoration start from identity
     use_flash: bool = False          # Pallas fused attention path (eval)
     flash_train: bool = False        # ...and in training: in-kernel attn
-                                     # dropout + frozen-BN head-mix (fast
-                                     # mode; see kernels/ docstrings)
+                                     # dropout, exact batch-stats BN head-mix
+                                     # (see kernels/ docstrings)
+    flash_frozen_bn: bool = False    # fast training mode: freeze the head-
+                                     # mix BN at running stats (~25% faster,
+                                     # no running-average updates)
     sequence_parallel: bool = False  # shard the token axis of long fine-level
                                      # sequences over the mesh 'model' axis,
                                      # all-gathering K/V over ICI per layer
@@ -150,6 +153,7 @@ class ViTUNet(nn.Module):
                 proj_drop=cfg.proj_drop, linear_drop=cfg.linear_drop,
                 qkv_kernel=cfg.qkv_kernel, ln_mode=cfg.ln_mode,
                 use_flash=cfg.use_flash, flash_train=cfg.flash_train,
+                flash_frozen_bn=cfg.flash_frozen_bn,
                 sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
                 sp_min_tokens=cfg.sp_min_tokens,
                 dtype=dt, param_dtype=pdt)
@@ -168,6 +172,7 @@ class ViTUNet(nn.Module):
                 qkv_kernel=cfg.qkv_kernel, attn_drop=cfg.attn_drop,
                 proj_drop=cfg.proj_drop, use_flash=cfg.use_flash,
                 flash_train=cfg.flash_train,
+                flash_frozen_bn=cfg.flash_frozen_bn,
                 sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
                 sp_min_tokens=cfg.sp_min_tokens, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]

@@ -35,6 +35,7 @@ class ReAttentionEncoderBlock(nn.Module):
     ln_mode: str = "shared"  # 'shared' (notebook/README) | 'dual' (packaged)
     use_flash: bool = False
     flash_train: bool = False
+    flash_frozen_bn: bool = False
     sequence_parallel: bool = False
     sp_mesh: Optional[object] = None
     sp_min_tokens: int = 1024
@@ -48,6 +49,7 @@ class ReAttentionEncoderBlock(nn.Module):
             num_heads=self.num_heads, qkv_kernel=self.qkv_kernel,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             use_flash=self.use_flash, flash_train=self.flash_train,
+            flash_frozen_bn=self.flash_frozen_bn,
             sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
             sp_min_tokens=self.sp_min_tokens,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,

@@ -85,8 +85,12 @@ class ReAttention(nn.Module):
                               # tf/functions.py:224-238)
     use_flash: bool = False  # fused Pallas re-attention (vit_unet_tpu.kernels)
     flash_train: bool = False  # fused path in training too: in-kernel attn
-                               # dropout + frozen-BN head-mix (see
-                               # kernels/flash_reattention_train.py docstring)
+                               # dropout; exact batch-stats BN by default
+                               # (kernels/flash_reattention_train.py)
+    flash_frozen_bn: bool = False  # fast mode: freeze the head-mix BN at its
+                               # running statistics during training (~25%
+                               # faster; round-1 headline semantics, no
+                               # running-average updates)
     sequence_parallel: bool = False  # shard the token axis over sp_axis and
                                      # all-gather K/V over ICI per layer
                                      # (parallel/sequence.py); train + eval
@@ -214,7 +218,8 @@ class ReAttention(nn.Module):
         BatchNorm normalises with this batch's own moments, the running
         averages are updated, and the gradient includes the
         through-the-statistics terms (flash_reattention_train_bn).
-        ``True`` runs the cheaper frozen-running-stats variant."""
+        ``True`` (or ``flash_frozen_bn=True``, the explicit ~25%-faster
+        mode) runs the frozen-running-stats variant."""
         from vit_unet_tpu.kernels.flash_reattention_train import (
             flash_reattention_train, flash_reattention_train_bn)
         v_cat = merge_heads(v)
@@ -223,7 +228,7 @@ class ReAttention(nn.Module):
         rate = 0.0 if interp else float(self.attn_drop)
         seed = self._flash_seed(rate)
         blk = self._flash_block(q.shape[2])
-        if use_running_average:
+        if use_running_average or self.flash_frozen_bn:
             m_eff, c_eff = self._folded_compact()
             return flash_reattention_train(
                 (q * self.scale).astype(self.dtype), k.astype(self.dtype),
@@ -347,7 +352,9 @@ class ReAttention(nn.Module):
                 and not self.is_initializing()
                 # batch-stats mode (use_running_average=False) is validated
                 # for <= 8 heads; wider falls through to the XLA path
-                and (use_running_average or self.num_heads <= 8)):
+                # unless the frozen-BN fast mode is requested
+                and (use_running_average or self.flash_frozen_bn
+                     or self.num_heads <= 8)):
             return self._attend_flash_train(
                 q, k, v, use_running_average=use_running_average)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
@@ -391,6 +398,7 @@ class SkipConnection(nn.Module):
     qkv_gelu: bool = False
     use_flash: bool = False
     flash_train: bool = False
+    flash_frozen_bn: bool = False
     sequence_parallel: bool = False
     sp_mesh: Optional[jax.sharding.Mesh] = None
     sp_min_tokens: int = 1024
@@ -408,6 +416,7 @@ class SkipConnection(nn.Module):
             proj_drop=self.proj_drop, apply_transform=True,
             transform_scale=self.transform_scale, qkv_gelu=self.qkv_gelu,
             use_flash=self.use_flash, flash_train=self.flash_train,
+            flash_frozen_bn=self.flash_frozen_bn,
             sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
             sp_min_tokens=self.sp_min_tokens,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
