@@ -175,3 +175,43 @@ def test_use_flash_flag_end_to_end():
                        use_running_average=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_use_flash_16_heads_classifier_level():
+    """The ViT-classifier's fine level (16 heads, dh=12) through the module:
+    flash eval == XLA eval, and the frozen-BN flash training path runs with
+    an identical parameter tree (round 2 widened the envelope to 16 heads)."""
+    from vit_unet_tpu.nn.reattention import ReAttention
+
+    heads, p, c = 16, 8, 3
+    dim = c * p * p                                     # 192, dh = 12
+    n, batch = 256, 2
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+
+    kw = dict(dim=dim, num_channels=c, num_heads=heads, apply_transform=True,
+              attn_drop=0.0, proj_drop=0.0)
+    ref_mod = ReAttention(use_flash=False, **kw)
+    fl_mod = ReAttention(use_flash=True, flash_train=True,
+                         flash_frozen_bn=True, **kw)
+    variables = ref_mod.init(jax.random.key(0), x)
+    assert (jax.tree.structure(fl_mod.init(jax.random.key(0), x))
+            == jax.tree.structure(variables))
+
+    ref = ref_mod.apply(variables, x, deterministic=True,
+                        use_running_average=True)
+    out = fl_mod.apply(variables, x, deterministic=True,
+                       use_running_average=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # frozen-BN training path (exact bn mode gates to <= 8 heads)
+    out_tr = fl_mod.apply(variables, x, deterministic=False,
+                          use_running_average=False,
+                          rngs={"dropout": jax.random.key(1)},
+                          mutable=["batch_stats"])[0]
+    ref_tr = ref_mod.apply(variables, x, deterministic=False,
+                           use_running_average=True,
+                           rngs={"dropout": jax.random.key(1)})
+    np.testing.assert_allclose(np.asarray(out_tr), np.asarray(ref_tr),
+                               rtol=2e-4, atol=2e-4)
