@@ -77,6 +77,14 @@ def test_flash_envelope_gate():
     assert not ok(1024, 16)  # dh=64 at 16 heads: outside
     assert not ok(192, 32)   # >16 heads: outside
 
+    # token floor: below ~one tile the N² map is trivial and flash only
+    # pays residual/partial IO — base's N=49 level is 7% faster on XLA
+    ok_n = lambda dim, h, n: ReAttention(dim=dim, num_heads=h)._flash_ok_for(n)
+    assert ok_n(3072, 8, 196)
+    assert not ok_n(3072, 8, 49)
+    assert not ok_n(768, 16, 64)   # classifier coarse level (N=64)
+    assert ok_n(192, 16, 256)
+
 
 def test_fold_affine_matches_conv_bn():
     """fold_reattention_affine must reproduce 1x1 conv + eval BatchNorm."""
@@ -215,3 +223,30 @@ def test_use_flash_16_heads_classifier_level():
                            rngs={"dropout": jax.random.key(1)})
     np.testing.assert_allclose(np.asarray(out_tr), np.asarray(ref_tr),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_flash_rectangular_queries():
+    """n_q != n_k (the sequence-parallel per-shard shape: local query rows
+    vs all-gathered keys/values) matches the XLA reference."""
+    rng = np.random.default_rng(29)
+    batch, heads, dh = 2, 4, 16
+    n_q, n_k = 96, 384
+    q = jnp.asarray(rng.normal(size=(batch, heads, n_q, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(batch, heads, n_k, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(batch, heads, n_k, dh)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(heads, heads)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(heads,)), jnp.float32)
+
+    attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q, k), axis=-1)
+    attn = jnp.einsum("gh,bhnm->bgnm", m, attn) + c[None, :, None, None]
+    ref = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    ref = ref.transpose(0, 2, 1, 3).reshape(batch, n_q, heads * dh)
+
+    v_cat = v.transpose(0, 2, 1, 3).reshape(batch, n_k, heads * dh)
+    w = jnp.repeat(m.T, dh, axis=1)
+    b = jnp.repeat(c, dh)
+    out = flash_reattention(q, k, v_cat, w, b, num_heads=heads,
+                            block_q=128, block_k=128, interpret=True)
+    assert out.shape == (batch, n_q, heads * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

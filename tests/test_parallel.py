@@ -317,3 +317,27 @@ class TestIntegratedSequenceParallel:
         assert np.isfinite(np.asarray(y_a)).all()
         assert float(jnp.max(jnp.abs(y_a - y_b))) > 1e-6      # rng matters
         assert float(jnp.max(jnp.abs(y_a - y_eval))) > 1e-6   # dropout on
+
+
+def test_sequence_parallel_flash_composition():
+    """SP + flash: the fused Pallas kernel per shard (rectangular attention
+    over the all-gathered K/V) matches the XLA sequence-parallel path on the
+    virtual mesh."""
+    from tests.conftest import cpu_devices
+    from vit_unet_tpu.parallel.mesh import create_mesh
+    from vit_unet_tpu.parallel.sequence import sequence_parallel_reattention
+
+    mesh = create_mesh(model_parallel=4, devices=cpu_devices(8))
+    b, h, n, dh = 2, 4, 256, 8
+    ks = jax.random.split(jax.random.key(3), 5)
+    q = jax.random.normal(ks[0], (b, h, n, dh))
+    k = jax.random.normal(ks[1], (b, h, n, dh))
+    v = jax.random.normal(ks[2], (b, h, n, dh))
+    m_eff = jax.random.normal(ks[3], (h, h)) * 0.3
+    c_eff = jax.random.normal(ks[4], (h,)) * 0.1
+
+    ref = sequence_parallel_reattention(q, k, v, m_eff, c_eff, mesh)
+    out = sequence_parallel_reattention(q, k, v, m_eff, c_eff, mesh,
+                                        use_flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -105,26 +105,34 @@ def flash_reattention(
     block_k: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns (B, N, H*dh) — the merged-head re-attention output."""
-    batch, heads, n, dh = q.shape
+    """Returns (B, N_q, H*dh) — the merged-head re-attention output.
+
+    ``q`` may have a different token count than ``k``/``v_cat`` (rectangular
+    attention) — the sequence-parallel composition attends each chip's local
+    query rows against the all-gathered keys/values (parallel/sequence.py).
+    """
+    batch, heads, n_q, dh = q.shape
+    n = k.shape[2]
     proj = v_cat.shape[-1]
     assert heads == num_heads and proj == heads * dh
+    assert v_cat.shape[1] == n
 
-    n_pad = -n % math.lcm(block_q, block_k)
-    if n_pad:
-        pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
-        q = jnp.pad(q, pad4)
-        k = jnp.pad(k, pad4)
-        v_cat = jnp.pad(v_cat, ((0, 0), (0, n_pad), (0, 0)))
-    np_ = n + n_pad
+    q_pad = -n_q % block_q
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+    k_pad = -n % block_k
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        v_cat = jnp.pad(v_cat, ((0, 0), (0, k_pad), (0, 0)))
+    nq_, nk_ = n_q + q_pad, n + k_pad
 
     vsum = jnp.sum(v_cat.astype(jnp.float32), axis=1, keepdims=True)  # (B,1,proj)
 
-    grid = (batch, np_ // block_q, np_ // block_k)
+    grid = (batch, nq_ // block_q, nk_ // block_k)
     out = pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, n_valid=n,
                           block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((batch, np_, proj), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, nq_, proj), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -155,7 +163,7 @@ def flash_reattention(
         interpret=interpret,
     )(q, k, v_cat, vsum, w.astype(jnp.float32),
       b.reshape(1, proj).astype(jnp.float32))
-    return out[:, :n, :]
+    return out[:, :n_q, :]
 
 
 def fold_reattention_compact(conv_kernel, conv_bias, bn_scale, bn_bias,

@@ -33,11 +33,27 @@ def _batch_spec(mesh: Mesh, data_axis: Optional[str],
     return data_axis if batch % mesh.shape[data_axis] == 0 else None
 
 
-def _local_reattention(q, k, v, m_eff, c_eff, *, axis: str):
+def _local_reattention(q, k, v, m_eff, c_eff, *, axis: str,
+                       use_flash: bool, interpret: bool):
     """Per-shard body under shard_map: q is the local row block (already
-    scaled); k/v are local blocks that get all-gathered here."""
+    scaled); k/v are local blocks that get all-gathered here.
+
+    ``use_flash=True`` runs the fused Pallas kernel per shard (rectangular
+    attention: local query rows vs the gathered keys/values) — the N² map
+    never touches HBM on any chip, composing the long-context answer
+    (sequence parallel over ICI) with the memory answer (flash).
+    """
     k_full = jax.lax.all_gather(k, axis, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
+    if use_flash:
+        from vit_unet_tpu.kernels.flash_reattention import (
+            expand_reattention_affine, flash_reattention)
+        heads, dh = q.shape[1], q.shape[3]
+        w, bias = expand_reattention_affine(m_eff, c_eff, dh=dh)
+        v_cat = v_full.transpose(0, 2, 1, 3).reshape(
+            v_full.shape[0], v_full.shape[2], heads * dh)
+        return flash_reattention(q, k_full, v_cat, w, bias,
+                                 num_heads=heads, interpret=interpret)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k_full,
                       preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1)
@@ -57,27 +73,37 @@ def sequence_parallel_reattention(
     mesh: Mesh,
     axis: str = "model",
     data_axis: Optional[str] = "data",
+    use_flash: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Eval-mode re-attention with the token axis sharded over ``axis``.
 
     Token count must divide the axis size.  The batch axis stays sharded
     over ``data_axis`` when the mesh has one (composes with the DP train
-    step); pass ``data_axis=None`` to replicate the batch.  Returns the
-    merged-head (B, N, H*dh) output.
+    step); pass ``data_axis=None`` to replicate the batch.
+    ``use_flash=True`` runs the fused Pallas kernel per shard (interpret
+    mode off-TPU, auto-detected).  Returns the merged-head (B, N, H*dh)
+    output.
     """
     n = q.shape[2]
     size = mesh.shape[axis]
     if n % size:
         raise ValueError(f"token count {n} not divisible by mesh axis "
                          f"{axis!r} of size {size}")
+    if interpret is None:
+        interpret = mesh.devices.reshape(-1)[0].platform != "tpu"
     ba = _batch_spec(mesh, data_axis, q.shape[0])
     tok = P(ba, None, axis, None)
     out_spec = P(ba, axis, None)
     fn = jax.shard_map(
-        partial(_local_reattention, axis=axis),
+        partial(_local_reattention, axis=axis, use_flash=use_flash,
+                interpret=interpret),
         mesh=mesh,
         in_specs=(tok, tok, tok, P(None, None), P(None)),
         out_specs=out_spec,
+        # pallas_call doesn't annotate varying-mesh-axes metadata on its
+        # outputs; the specs above already pin the sharding
+        check_vma=False,
     )
     return fn(q, k, v, m_eff, c_eff)
 
