@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--checkpoint_dir", type=str, default="models")
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--flash", action="store_true",
+                   help="fused Pallas re-attention kernels (both classifier "
+                        "levels are inside the validated envelope)")
     p.add_argument("--data_parallel", action="store_true")
     p.add_argument("--log_jsonl", type=str, default=None)
     return p
@@ -91,7 +94,7 @@ def main(argv=None) -> dict:
         linear_list=(args.head_width, num_classes),
         num_patches=side * side, patch_size=args.patch_size,
         hidden_dim=args.hidden_dim, num_heads=args.num_heads,
-        dtype=args.dtype)
+        use_flash=args.flash, flash_train=args.flash, dtype=args.dtype)
     model = ViTClassifier(cfg)
 
     def loss_fn(pred, target):
