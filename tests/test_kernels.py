@@ -165,7 +165,7 @@ def test_use_flash_flag_end_to_end():
 
     heads, p, c = 4, 4, 3
     dim = c * p * p                                     # 48
-    n, batch = 96, 2
+    n, batch = 128, 2      # >= the flash token floor so the kernel path runs
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
 

@@ -77,7 +77,7 @@ def test_flash_train_module_grads_match_xla():
 
     heads, p, c = 4, 4, 3
     dim = c * p * p
-    n, batch = 96, 2
+    n, batch = 128, 2      # >= the flash token floor so the kernel path runs
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
 
@@ -275,7 +275,7 @@ def test_flash_train_bn_module_matches_xla():
 
     heads, p, c = 4, 4, 3
     dim = c * p * p
-    n, batch = 96, 2
+    n, batch = 128, 2      # >= the flash token floor so the kernel path runs
     rng = np.random.default_rng(13)
     # x4: peaked attention maps keep the map variance far above BN's eps —
     # near-uniform maps make flax's E[x²]−E[x]² variance (and everything 1/σ
@@ -341,7 +341,7 @@ def test_flash_frozen_bn_flag():
 
     heads, p, c = 4, 4, 3
     dim = c * p * p
-    n, batch = 96, 2
+    n, batch = 128, 2      # >= the flash token floor so the kernel path runs
     rng = np.random.default_rng(17)
     x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32) * 4.0
 
