@@ -229,3 +229,25 @@ def test_profiler_trace_smoke(tmp_path):
         jnp.ones(8).sum().block_until_ready()
     import os
     assert any(os.scandir(tmp_path / "prof"))
+
+
+def test_depth3_hierarchy_forward():
+    """Generality beyond the shipped presets: a depth-3 hierarchy (patch 32
+    -> final patch 4, four levels of patch-size fluctuation) builds and runs
+    forward with the same constructor surface."""
+    import jax
+    import jax.numpy as jnp
+    from vit_unet_tpu.models.vit_unet import ViTUNet, ViTUNetConfig
+
+    cfg = ViTUNetConfig(depth=3, depth_te=1, size_bottleneck=1,
+                        preprocessing="conv", im_size=64, patch_size=32,
+                        num_channels=3, hidden_dim=64, num_heads=4,
+                        attn_drop=0.0, proj_drop=0.0)
+    assert cfg.level_geometry(3)["patch_size"] == 4
+    model = ViTUNet(cfg)
+    x = jnp.ones((2, 3, 64, 64))
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    out = model.apply(variables, x, deterministic=True,
+                      use_running_average=True)
+    assert out.shape == (2, 3, 64, 64)
+    assert bool(jnp.isfinite(out).all())
