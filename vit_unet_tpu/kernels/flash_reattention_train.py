@@ -510,9 +510,14 @@ flash_reattention_train.defvjp(_vjp_fwd, _vjp_bwd)
 # tested in tests/test_kernels_train.py.
 
 
-def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
-                  m_s, l_s, ps_s, cc_s, p_s, *,
-                  num_heads: int, n_valid: int, block_k: int, rate: float):
+def _bn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, s_ref, c_ref, lse_ref,
+                   onorm_ref, m_s, l_s, ps_s, cc_s, acc_s, *,
+                   num_heads: int, n_valid: int, block_k: int, rate: float):
+    """ONE sweep for the batch-stats mode: per-head PV accumulators (o_norm)
+    + LSE + the per-row S/C probability sums the BN moments need.  The
+    m_eff/c_eff head-mix is NOT applied here — with batch statistics it is
+    only known after the global reduction, so the caller applies it as a
+    cheap XLA epilogue over the o_norm residual."""
     bi = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -525,13 +530,16 @@ def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
         l_s[...] = jnp.zeros_like(l_s)
         ps_s[...] = jnp.zeros_like(ps_s)
         cc_s[...] = jnp.zeros_like(cc_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
 
     block_q = q_ref.shape[2]
     k_start = ki * block_k
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
     key_mask = col_ids < n_valid
 
+    v = v_ref[0]                                        # (block_k, proj)
     alphas = []
+    p_tiles = []
     for h in range(num_heads):
         s = jax.lax.dot_general(
             q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
@@ -548,8 +556,11 @@ def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
         if rate > 0.0:
             p = p * _dropout_mask(seed_ref, rate, bi, h, qi, ki, nq, nk,
                                   num_heads, (block_q, block_k))
-        p_s[h] = p                                       # dropout-masked
+        p_tiles.append(p)                               # dropout-masked
         ps_s[h] = alpha * ps_s[h] + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        acc_s[h] = acc_s[h] * alpha + pv
         alphas.append(alpha)
 
     # cross sums: cc_s[h2][:, h3] += Σ_m A_h2 ⊙ A_h3 (relative to the
@@ -560,7 +571,7 @@ def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
     prods = {}
     for h2 in range(num_heads):
         for h3 in range(h2, num_heads):
-            prods[(h2, h3)] = jnp.sum(p_s[h2] * p_s[h3], axis=1,
+            prods[(h2, h3)] = jnp.sum(p_tiles[h2] * p_tiles[h3], axis=1,
                                       keepdims=True)
     for h2 in range(num_heads):
         new = jnp.concatenate(
@@ -575,13 +586,18 @@ def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
         row_valid = row_ids < n_valid                    # (bq, 1)
         linvs = []
         s_rows = []
+        lse_rows = []
         for h in range(num_heads):
             l = l_s[h][:, :1]
             linv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             linvs.append(linv)
             sval = jnp.where(row_valid, ps_s[h][:, :1] * linv, 0.0)
             s_rows.append(sval.T)                        # (1, bq)
+            lse_rows.append(
+                (m_s[h][:, :1] + jnp.log(jnp.maximum(l, 1e-30))).T)
+            onorm_ref[0, 0, h] = (acc_s[h] * linv).astype(onorm_ref.dtype)
         s_ref[0, 0] = jnp.concatenate(s_rows, axis=0)    # (H, bq)
+        lse_ref[0, 0] = jnp.concatenate(lse_rows, axis=0)
         for h2 in range(num_heads):
             rows = []
             for h3 in range(num_heads):
@@ -590,23 +606,23 @@ def _stats_kernel(seed_ref, q_ref, k_ref, s_ref, c_ref,
             c_ref[0, 0, h2] = jnp.concatenate(rows, axis=0)  # (H3, bq)
 
 
-def _stats(q, k, seed, *, num_heads, rate, block_q, block_k, interpret):
-    """Per-row probability sums: S (B, nq, H, bq), C (B, nq, H, H, bq)."""
+def _bn_fwd(q, k, v_cat, seed, *, num_heads, rate, block_q, block_k,
+            interpret):
+    """One-sweep batch-stats forward: (S, C, lse, o_norm, vsum), blocked."""
     batch, heads, n, dh = q.shape
-    n_pad = -n % math.lcm(block_q, block_k)
-    if n_pad:
-        pad4 = ((0, 0), (0, 0), (0, n_pad), (0, 0))
-        q = jnp.pad(q, pad4)
-        k = jnp.pad(k, pad4)
-    np_ = n + n_pad
+    proj = v_cat.shape[-1]
+    q, k, v_cat, np_ = _pad_inputs(q, k, v_cat, block_q, block_k)
+    vsum = jnp.sum(v_cat.astype(jnp.float32), axis=1)    # (B, proj)
     nq, nk = np_ // block_q, np_ // block_k
-    return pl.pallas_call(
-        functools.partial(_stats_kernel, num_heads=num_heads, n_valid=n,
+    s_rows, c_rows, lse, onorm = pl.pallas_call(
+        functools.partial(_bn_fwd_kernel, num_heads=num_heads, n_valid=n,
                           block_k=block_k, rate=rate),
         out_shape=(
             jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
             jax.ShapeDtypeStruct((batch, nq, heads, heads, block_q),
                                  jnp.float32),
+            jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
+            jax.ShapeDtypeStruct((batch, nq, heads, block_q, proj), q.dtype),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -616,11 +632,17 @@ def _stats(q, k, seed, *, num_heads, rate, block_q, block_k, interpret):
                              lambda bi, qi, ki, *_: (bi, 0, qi, 0)),
                 pl.BlockSpec((1, heads, block_k, dh),
                              lambda bi, qi, ki, *_: (bi, 0, ki, 0)),
+                pl.BlockSpec((1, block_k, proj),
+                             lambda bi, qi, ki, *_: (bi, ki, 0)),
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, heads, block_q),
                              lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
                 pl.BlockSpec((1, 1, heads, heads, block_q),
+                             lambda bi, qi, ki, *_: (bi, qi, 0, 0, 0)),
+                pl.BlockSpec((1, 1, heads, block_q),
+                             lambda bi, qi, ki, *_: (bi, qi, 0, 0)),
+                pl.BlockSpec((1, 1, heads, block_q, proj),
                              lambda bi, qi, ki, *_: (bi, qi, 0, 0, 0)),
             ),
             scratch_shapes=[
@@ -628,14 +650,15 @@ def _stats(q, k, seed, *, num_heads, rate, block_q, block_k, interpret):
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # l
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # ps
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # cc
-                pltpu.VMEM((num_heads, block_q, block_k), jnp.float32),
+                pltpu.VMEM((num_heads, block_q, proj), jnp.float32),  # acc
             ],
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32).reshape(1), q, k)
+    )(jnp.asarray([seed], jnp.int32).reshape(1), q, k, v_cat)
+    return s_rows, c_rows, lse, onorm, vsum
 
 
 def _bn_moments(s_rows, c_rows, conv_m, conv_c, n, batch):
@@ -661,18 +684,27 @@ def _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
                eps, reatten_scale):
     from vit_unet_tpu.kernels.flash_reattention import fold_reattention_compact
 
-    n = q.shape[2]
-    s_rows, c_rows = _stats(q, k, seed, num_heads=num_heads, rate=rate,
-                            block_q=block_q, block_k=block_k,
-                            interpret=interpret)
-    mu, var, _, _ = _bn_moments(s_rows, c_rows, conv_m, conv_c, n, q.shape[0])
+    batch, heads, n, dh = q.shape
+    proj = v_cat.shape[-1]
+    # ONE kernel sweep produces the PV accumulators (o_norm), LSE, and the
+    # per-row S/C sums; the batch-stat affine is only known after the global
+    # moment reduction, so the head-mix runs as an XLA epilogue over o_norm
+    # (bandwidth-bound: two passes over the residual) instead of a second
+    # QK+softmax sweep.
+    s_rows, c_rows, lse, onorm, vsum = _bn_fwd(
+        q, k, v_cat, seed, num_heads=num_heads, rate=rate,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+    mu, var, _, _ = _bn_moments(s_rows, c_rows, conv_m, conv_c, n, batch)
     m_eff, c_eff = fold_reattention_compact(
         conv_m, conv_c, gamma, beta, mu, var, eps=eps,
         reatten_scale=reatten_scale)
-    out, lse, vsum, onorm = _fwd(q, k, v_cat, m_eff, c_eff, seed,
-                                 num_heads=num_heads, rate=rate,
-                                 block_q=block_q, block_k=block_k,
-                                 interpret=interpret)
+    nq = onorm.shape[1]
+    o6 = onorm.astype(jnp.float32).reshape(
+        batch, nq, heads, block_q, heads, dh)            # (B, nq, H2, bq, Hp, dh)
+    mixed = jnp.einsum("ph,bqhxpd->bqxpd", m_eff.astype(jnp.float32), o6)
+    out = mixed.reshape(batch, nq * block_q, proj)[:, :n, :]
+    c_rep = jnp.repeat(c_eff.astype(jnp.float32), dh)    # (proj,)
+    out = (out + (c_rep[None, :] * vsum)[:, None, :]).astype(q.dtype)
     return out, mu, var, (s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff)
 
 
