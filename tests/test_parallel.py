@@ -341,3 +341,37 @@ def test_sequence_parallel_flash_composition():
                                         use_flash=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif("VIT_UNET_RUN_SLOW" not in __import__("os").environ,
+                    reason="N=4096 sequence-parallel training on the virtual "
+                           "CPU mesh takes minutes; set VIT_UNET_RUN_SLOW=1")
+def test_sequence_parallel_4096_tokens_training():
+    """The actual long-context geometry (finest level N=4096, the 512²
+    notebook's token count — SURVEY §5): token axis sharded over the
+    'model' axis, full sharded train steps, loss decreases."""
+    from tests.conftest import cpu_devices
+
+    mesh = create_mesh(model_parallel=4, devices=cpu_devices(8))
+    cfg = ViTUNetConfig(depth=2, depth_te=1, size_bottleneck=1,
+                        preprocessing="conv", im_size=256, patch_size=16,
+                        num_channels=3, hidden_dim=32, num_heads=4,
+                        attn_drop=0.0, proj_drop=0.0, linear_drop=0.0,
+                        sequence_parallel=True, sp_min_tokens=2048)
+    assert cfg.level_geometry(2)["num_patches"] == 4096
+    model = ViTUNet(cfg, mesh=mesh)
+    tx = optax.adam(3e-4)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 3, 256, 256)).astype(np.float32))
+    batch = {"x": x, "y": x * 0.7}
+    variables = jax.jit(model.init)(jax.random.key(0), x[:1])
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.key(1))
+    steps = build_step_functions(model, tx, mse, mesh=mesh)
+    losses = []
+    for _ in range(3):
+        state, m = steps.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
