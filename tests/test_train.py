@@ -381,3 +381,65 @@ def test_eval_aggregation_is_sample_weighted():
     biased = np.mean(per_batch)
     assert got == pytest.approx(pooled, rel=1e-4)
     assert abs(got - pooled) <= abs(got - biased)
+
+
+def test_ssim_and_mixed_losses(rng):
+    from vit_unet_tpu.train.losses import charbonnier_ssim, get_loss, ssim_loss
+
+    a = jnp.asarray(rng.random((2, 3, 32, 32), dtype=np.float32))
+    b = jnp.asarray(rng.random((2, 3, 32, 32), dtype=np.float32))
+    assert float(ssim_loss(a, a)) == pytest.approx(0.0, abs=1e-5)
+    assert float(ssim_loss(a, b)) > 0.1
+    mixed = float(charbonnier_ssim(a, b))
+    assert 0.0 < mixed < 2.0
+    assert get_loss("ssim") is ssim_loss
+    # differentiable (it's a training objective, not just a metric)
+    g = jax.grad(lambda p: ssim_loss(p, b))(a)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0
+
+
+def test_gradient_clip_and_accumulation(tmp_path):
+    """gradient_clip_norm bounds the update; grad_accum_steps=k only steps
+    the params every k micro-batches (optax.MultiSteps), and the LR
+    setter/getter still reach the wrapped inject_hyperparams state."""
+    import optax
+
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 3, 32, 32)).astype(np.float32))
+    batch = {"x": x, "y": x * 0.5}
+
+    fitter = Fitter(model, learning_rate=1e-3, loss="mse", metrics=(),
+                    checkpoint_dir=str(tmp_path), gradient_clip_norm=1.0,
+                    grad_accum_steps=2)
+    fitter.init_state(batch)
+
+    # LR plumbing works through clip+MultiSteps wrappers
+    assert fitter.learning_rate == pytest.approx(1e-3)
+    fitter.learning_rate = 5e-4
+    assert fitter.learning_rate == pytest.approx(5e-4)
+
+    # snapshot before stepping: the train step donates the old state
+    p0 = np.asarray(jax.tree.leaves(fitter.state.params)[0])
+    fitter.state, m1 = fitter.steps.train_step(fitter.state, batch)
+    p1 = np.asarray(jax.tree.leaves(fitter.state.params)[0])
+    # first micro-batch of the accumulation pair: params unchanged
+    np.testing.assert_array_equal(p0, p1)
+    fitter.state, m2 = fitter.steps.train_step(fitter.state, batch)
+    p2 = np.asarray(jax.tree.leaves(fitter.state.params)[0])
+    assert np.abs(p2 - p1).max() > 0
+
+    # clipping alone: the global update norm is bounded by ~lr * clip
+    f2 = Fitter(model, learning_rate=1e-3, optimizer="sgd", loss="mse",
+                metrics=(), checkpoint_dir=str(tmp_path),
+                gradient_clip_norm=1e-3)
+    f2.init_state(batch)
+    q0 = [np.asarray(a) for a in jax.tree.leaves(f2.state.params)]
+    f2.state, _ = f2.steps.train_step(f2.state, batch)
+    q1 = [np.asarray(a) for a in jax.tree.leaves(f2.state.params)]
+    delta = np.sqrt(sum(float(np.sum((b - a) ** 2))
+                        for a, b in zip(q0, q1)))
+    assert float(delta) <= 1e-3 * 1e-3 * 1.01   # lr * clip_norm

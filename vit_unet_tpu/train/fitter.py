@@ -60,7 +60,13 @@ class Fitter:
         monitor: str = "val_loss",
         mode: str = "min",
         seed: int = 42,
+        gradient_clip_norm: Optional[float] = None,
+        grad_accum_steps: int = 1,
     ):
+        """``gradient_clip_norm``: global-norm clipping before the optimizer
+        update.  ``grad_accum_steps > 1``: accumulate that many micro-batch
+        gradients before each parameter update (optax.MultiSteps) — the
+        standard way to train at an effective batch the chip can't hold."""
         self.model = model
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
@@ -77,6 +83,11 @@ class Fitter:
         else:
             self.tx = optimizer
             self._injectable = False
+        if gradient_clip_norm is not None:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(gradient_clip_norm), self.tx)
+        if grad_accum_steps > 1:
+            self.tx = optax.MultiSteps(self.tx, grad_accum_steps)
         self.loss_fn = _as_loss(loss)
         self.metric_fns = _as_metrics(metrics)
         self.checkpoint_dir = checkpoint_dir
@@ -102,21 +113,39 @@ class Fitter:
             metrics=self.metric_fns)
         return self.state
 
+    @staticmethod
+    def _find_hyperparams(opt_state):
+        """The inject_hyperparams dict, looked up through optax wrappers
+        (chain tuples, MultiSteps' inner_opt_state)."""
+        if hasattr(opt_state, "hyperparams"):
+            return opt_state.hyperparams
+        if hasattr(opt_state, "inner_opt_state"):      # optax.MultiSteps
+            return Fitter._find_hyperparams(opt_state.inner_opt_state)
+        if isinstance(opt_state, (tuple, list)):       # optax.chain
+            for s in opt_state:
+                found = Fitter._find_hyperparams(s)
+                if found is not None:
+                    return found
+        return None
+
     @property
     def learning_rate(self) -> float:
         if self._injectable and self.state is not None:
-            try:
-                return float(self.state.opt_state.hyperparams["learning_rate"])
-            except (AttributeError, KeyError, TypeError):
-                pass
+            hp = self._find_hyperparams(self.state.opt_state)
+            if hp is not None:
+                try:
+                    return float(hp["learning_rate"])
+                except (KeyError, TypeError):
+                    pass
         return self._lr
 
     @learning_rate.setter
     def learning_rate(self, value: float) -> None:
         self._lr = value
         if self._injectable and self.state is not None:
-            self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                value, jnp.float32)
+            hp = self._find_hyperparams(self.state.opt_state)
+            if hp is not None:
+                hp["learning_rate"] = jnp.asarray(value, jnp.float32)
 
     # -- checkpointing ------------------------------------------------------
 

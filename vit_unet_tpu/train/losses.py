@@ -55,6 +55,21 @@ def categorical_crossentropy(logits: jnp.ndarray, target: jnp.ndarray,
     return -jnp.mean(jnp.sum(target * log_probs, axis=-1))
 
 
+def ssim_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """1 − SSIM on (B, C, H, W) images — the perceptual objective
+    restoration SOTA (SIDD/GoPro leaderboards) commonly mixes with L1."""
+    from vit_unet_tpu.train.metrics import ssim
+    return 1.0 - ssim(pred, target)
+
+
+def charbonnier_ssim(pred: jnp.ndarray, target: jnp.ndarray,
+                     alpha: float = 0.84) -> jnp.ndarray:
+    """α·(1−SSIM) + (1−α)·Charbonnier — the standard restoration mix
+    (Zhao et al. 2017 weighting)."""
+    return (alpha * ssim_loss(pred, target)
+            + (1.0 - alpha) * charbonnier(pred, target))
+
+
 def dice_bce(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Soft-Dice (on sigmoid probabilities) + BCE-with-logits — the standard
     compound objective for the README's binary-segmentation task
@@ -68,6 +83,8 @@ LOSSES = {
     "mse": mse,
     "mae": mae,
     "charbonnier": charbonnier,
+    "ssim": ssim_loss,
+    "charbonnier_ssim": charbonnier_ssim,
     "soft_dice": soft_dice_loss,
     "bce": bce_with_logits,
     "dice_bce": dice_bce,
