@@ -47,6 +47,33 @@ def conv_tokens(x: jnp.ndarray, conv: Callable, num_channels: int,
     return out.reshape(b, n, e)
 
 
+def conv_token_matrix(kernel: jnp.ndarray, num_channels: int, p: int,
+                      layout: str = "cm") -> jnp.ndarray:
+    """The SAME-padding CxC conv as a dense (E, E) operator on the flattened
+    token vector (E = C·p²), built differentiably from the conv kernel.
+
+    A conv on the (C, p, p) patch image is linear in the token vector; on
+    fine hierarchy levels (small E) materialising it as one matrix turns the
+    MXU-hostile 3-channel conv — and the NHWC layout transposes around it,
+    whose backward dominates the conv's cost — into a single well-shaped
+    matmul.  Returns M with ``out_tokens = tokens @ M.T``; exact (validated
+    element-for-element against the conv lowering).
+    """
+    k = kernel.shape[0]
+    half = k // 2
+    # S[a, i', i] = 1 iff i - i' = a - half (the conv window offsets; zero
+    # padding falls out of the clipped eye diagonals)
+    shifts = jnp.stack([jnp.eye(p, k=d, dtype=jnp.float32)
+                        for d in range(-half, half + 1)])
+    m6 = jnp.einsum("abcd,aIi,bJj->dIJcij", kernel.astype(jnp.float32),
+                    shifts, shifts)               # out (c',I,J) × in (c,i,j)
+    e = num_channels * p * p
+    if layout == "cm":
+        return m6.reshape(e, e)
+    # channels-last tokens: index = i·(p·C) + j·C + c
+    return m6.transpose(1, 2, 0, 4, 5, 3).reshape(e, e)
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """(B, N, E) -> (B, H, N, E/H); head h owns the contiguous channel-major
     slice [h*E/H, (h+1)*E/H) of the flattened patch (torch/model.py:152)."""
@@ -128,13 +155,52 @@ class ReAttention(nn.Module):
     def scale(self) -> float:
         return self.qk_scale or (self.dim // self.num_heads) ** -0.5
 
+    #: widest token vector for which the conv-as-matmul QKV path pays: at
+    #: E <= 192 the dense (E, E) matmul's backward beats the conv's by ~0.4
+    #: ms/call (the conv's NHWC transposes dominate); at E >= 768 the conv's
+    #: 9·C-sparse structure wins on FLOPs (TPU microbenchmarks, round 2)
+    _QKV_MATMUL_MAX_E = 256
+
     def _qkv(self, q_in, k_in, v_in):
-        def go(x, conv):
-            y = conv_tokens(x, conv, self.num_channels,
-                            layout=self.token_layout)
+        def act(y):
             if self.qkv_gelu:
                 y = jax.nn.gelu(y, approximate=False)
             return split_heads(y, self.num_heads)
+
+        e = q_in.shape[-1]
+        if not self.is_initializing() and e <= self._QKV_MATMUL_MAX_E:
+            # conv-as-token-matmul: one (B·N, E) @ (E, 3E) for all of Q/K/V
+            # when they share an input (self-attention); exact same params
+            # and math, gradients flow through conv_token_matrix
+            p = int(round((e // self.num_channels) ** 0.5))
+            mats, biases = [], []
+            for conv in (self.qconv2d, self.kconv2d, self.vconv2d):
+                cp = conv.variables["params"]
+                mats.append(conv_token_matrix(
+                    cp["kernel"], self.num_channels, p,
+                    self.token_layout).astype(self.dtype))
+                if self.qkv_bias:
+                    b = cp["bias"].astype(jnp.float32)
+                    biases.append(
+                        (jnp.repeat(b, p * p) if self.token_layout == "cm"
+                         else jnp.tile(b, p * p)).astype(self.dtype))
+            if q_in is k_in and k_in is v_in:
+                m_all = jnp.concatenate([m.T for m in mats], axis=1)
+                out = jnp.einsum("bne,ef->bnf", q_in.astype(self.dtype),
+                                 m_all, preferred_element_type=self.dtype)
+                qy, ky, vy = jnp.split(out, 3, axis=-1)
+            else:
+                qy, ky, vy = (
+                    jnp.einsum("bne,fe->bnf", t.astype(self.dtype), m,
+                               preferred_element_type=self.dtype)
+                    for t, m in zip((q_in, k_in, v_in), mats))
+            if self.qkv_bias:
+                qy, ky, vy = (y + b for y, b in zip((qy, ky, vy), biases))
+            return act(qy), act(ky), act(vy)
+
+        def go(x, conv):
+            return act(conv_tokens(x, conv, self.num_channels,
+                                   layout=self.token_layout))
         return (go(q_in, self.qconv2d), go(k_in, self.kconv2d),
                 go(v_in, self.vconv2d))
 
