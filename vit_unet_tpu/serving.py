@@ -134,9 +134,16 @@ def export_predictor(model, variables: dict, path: str,
     return path
 
 
-def load_predictor(path: str) -> Callable[[np.ndarray], np.ndarray]:
+def load_predictor(path: str,
+                   device=None) -> Callable[[np.ndarray], np.ndarray]:
     """Load an exported predictor: returns f(x) with the same any-batch
-    padding/micro-batching contract as ``Predictor``."""
+    padding/micro-batching contract as ``Predictor``.
+
+    ``device`` pins where params live and the computation runs; when None
+    the pinned ``jax_default_device`` wins, then the default backend —
+    probed with a tiny dispatch so a registered-but-broken TPU plugin
+    (e.g. libtpu client/terminal mismatch) degrades to CPU instead of
+    failing at the first predict call."""
     import orbax.checkpoint as ocp
     from jax import export as jexport
 
@@ -149,10 +156,19 @@ def load_predictor(path: str) -> Callable[[np.ndarray], np.ndarray]:
     # artifact exported on CPU is loaded in a TPU process); the abstract
     # target places params on this process's default devices instead.
     in_args, _ = jax.tree.unflatten(exported.in_tree, exported.in_avals)
-    # honour an explicitly-pinned default device (jax_default_device) —
-    # jax.devices()[0] would be the TPU plugin even when execution is pinned
-    # to CPU (see utils/profiling.py note on backend detection)
-    device = jax.config.jax_default_device or jax.devices()[0]
+    # honour (1) an explicit device argument, (2) a pinned jax_default_device
+    # — jax.devices()[0] would be the TPU plugin even when execution is
+    # pinned to CPU — then (3) the default backend, dispatch-probed so a
+    # broken plugin degrades to CPU
+    if device is None:
+        device = jax.config.jax_default_device
+    if device is None:
+        try:
+            device = jax.devices()[0]
+            jax.block_until_ready(
+                jax.device_put(jnp.zeros((), jnp.float32), device))
+        except Exception:
+            device = jax.devices("cpu")[0]
     sharding = jax.sharding.SingleDeviceSharding(device)
     spec_vars = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sharding),
