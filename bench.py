@@ -30,6 +30,53 @@ import optax
 BASELINE_IMG_PER_SEC_PER_CHIP = 155.0 / 8.0  # TF-TPU notebook on v2-8
 BATCH = 64  # the reference's own global batch (v2-8 notebook, cell 23)
 
+# bf16 matmul peak of the bench chip (TPU v5e: 197 TFLOP/s).  MFU is
+# reported against this; unknown device kinds report mfu as null rather
+# than against a guessed peak.
+PEAK_BF16_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+
+
+def _flops_per_image(compiled, batch: int):
+    """FLOPs per image from XLA's cost analysis of a compiled step.
+    Returns None when the backend doesn't report flops."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops / batch if flops > 0 else None
+    except Exception:
+        return None
+
+
+def model_flops_per_image(name: str, batch: int = 8):
+    """MODEL FLOPs/img of the full train step (fwd+bwd+optimizer), counted
+    on the pure-XLA program: ``cost_analysis`` reports 0 FLOPs for
+    pallas_call, so counting the flash program would undercount by the
+    whole attention core (measured: base 17.7 GF/img flash-counted vs 27.9
+    XLA-counted).  Compiled for the CPU backend — FLOP counts are
+    platform-independent, a small batch suffices (FLOPs are linear in it),
+    and the N² attention temporaries of the XLA path don't fit HBM for the
+    fine-grid presets anyway (lite at batch 8 OOMs at TPU compile).  Never
+    executed."""
+    from vit_unet_tpu.models.vit_unet import get_vit_unet
+    from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
+    from vit_unet_tpu.train.losses import mse
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        model = get_vit_unet(name, dtype="bfloat16", param_dtype="bfloat16",
+                             use_flash=False, flash_train=False)
+        tx = optax.adamw(1e-4)
+        variables = jax.jit(model.init)(jax.random.key(0),
+                                        jnp.zeros((1, 3, 224, 224)))
+        state = TrainState.create(params=variables["params"], tx=tx,
+                                  batch_stats=variables.get("batch_stats", {}),
+                                  rng=jax.random.key(1))
+        steps = build_step_functions(model, tx, mse, donate=False)
+        x = jnp.zeros((batch, 3, 224, 224), jnp.float32)
+        return _flops_per_image(
+            steps.train_step.lower(state, {"x": x, "y": x}).compile(), batch)
+
 
 def measure_preset(name: str, frozen_bn: bool = False) -> float:
     """Median train-step throughput (img/s/chip) for one preset.
@@ -82,9 +129,17 @@ def measure_preset(name: str, frozen_bn: bool = False) -> float:
 
 
 def main() -> None:
-    results = {name: measure_preset(name) for name in ("lite", "base", "large")}
-    fast = {name: measure_preset(name, frozen_bn=True)
-            for name in ("lite", "base", "large")}
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    names = ("lite", "base", "large")
+    flops = {name: model_flops_per_image(name) for name in names}
+
+    def mfu(img_per_s, name):
+        if peak is None or flops[name] is None:
+            return None
+        return round(img_per_s * flops[name] / peak, 4)
+
+    results = {name: measure_preset(name) for name in names}
+    fast = {name: measure_preset(name, frozen_bn=True) for name in names}
     base = results["base"]
     print(json.dumps({
         "metric": "images/sec/chip, base 224^2 train step "
@@ -102,6 +157,13 @@ def main() -> None:
         "large_fast": round(fast["large"], 2),
         "base_fast_vs_baseline": round(fast["base"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
         "lite_fast_vs_baseline": round(fast["lite"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        # model FLOPs/img (XLA cost_analysis of the pure-XLA train step:
+        # fwd+bwd+optimizer) and MFU against the chip's bf16 peak
+        # (v5e: 197 TFLOP/s)
+        "gflops_per_img": {k: (round(v / 1e9, 1) if v else None)
+                           for k, v in flops.items()},
+        "mfu": {k: mfu(v, k) for k, v in results.items()},
+        "mfu_fast": {k: mfu(v, k) for k, v in fast.items()},
     }))
 
 
