@@ -187,7 +187,7 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
     col_ids = col_ids + ki * block_k
     valid = (row_ids < n_valid) & (col_ids < n_valid)
 
-    g = g_ref[0]                                        # (bq, proj)
+    g = g_ref[0].astype(jnp.float32)                    # (bq, proj)
     v = v_ref[0]                                        # (bk, proj)
     t_tiles = []
     for hp in range(num_heads):
@@ -335,11 +335,21 @@ def _r_blocked(onorm, g_padded, batch, nq, block_q, heads, dh):
     probabilities: R = Σ_d g_hp[n,d]·o_norm_h2[n, hp·dh+d].  All in the
     kernel's blocked layout (x = row-in-block): padded rows contribute
     nothing because g is zero-padded — zero relayout of the proj-wide
-    residual.  Returns (B, nq, H2, bq, Hp)."""
-    o6 = onorm.astype(jnp.float32).reshape(
-        batch, nq, heads, block_q, heads, dh)
-    g_blk = g_padded.reshape(batch, nq, block_q, heads, dh)
-    return jnp.einsum("bqhxpd,bqxpd->bqhxp", o6, g_blk)
+    residual.  Returns (B, nq, H2, bq, Hp).
+
+    Formulated as  R = (o_norm ⊙ g) @ S  with S (proj, Hp) the head-block
+    indicator, so the contraction runs over the MINOR (proj) axis of
+    o_norm's native kernel layout and the multiply fuses into the dot.
+    The earlier 6-D mul-reduce einsum made XLA materialise a transposed
+    f32 copy of the proj-wide residual first (~1 ms per 600 MB, ~9 ms/step
+    on base).  o_norm/g stay in their storage dtype: bf16·bf16 products
+    are exact in f32 (preferred_element_type), bit-identical to upcasting
+    first."""
+    proj = heads * dh
+    g4 = g_padded.reshape(batch, nq, block_q, proj)
+    sel = jnp.repeat(jnp.eye(heads, dtype=onorm.dtype), dh, axis=0)
+    return jnp.einsum("bqhxj,bqxj,jp->bqhxp", onorm, g4, sel,
+                      preferred_element_type=jnp.float32)
 
 
 def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
@@ -351,7 +361,10 @@ def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
     proj = v_cat.shape[-1]
 
     q, k, v_cat, np_ = _pad_inputs(q, k, v_cat, block_q, block_k)
-    g = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)))
+    # g stays in its cotangent dtype (bf16 on the bench path): the kernel
+    # upcasts the VMEM block, halving the HBM read that the dkv pass repeats
+    # nk times
+    g = jnp.pad(g, ((0, 0), (0, np_ - n), (0, 0)))
     nq, nk = np_ // block_q, np_ // block_k
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
     m32 = m_eff.astype(jnp.float32)
@@ -699,9 +712,15 @@ def _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
         conv_m, conv_c, gamma, beta, mu, var, eps=eps,
         reatten_scale=reatten_scale)
     nq = onorm.shape[1]
-    o6 = onorm.astype(jnp.float32).reshape(
-        batch, nq, heads, block_q, heads, dh)            # (B, nq, H2, bq, Hp, dh)
-    mixed = jnp.einsum("ph,bqhxpd->bqxpd", m_eff.astype(jnp.float32), o6)
+    # Head-mix epilogue over the proj-flat residual:  out[..., j] =
+    # Σ_h W[h, j]·o_norm_h[..., j]  with W the dh-expanded affine
+    # (W[h, p·dh+d] = m_eff[p, h]) — reduce over the SIZE-H axis with j
+    # elementwise, so o_norm is read once in its native layout (the 6-D
+    # head-split einsum made XLA materialise a transposed f32 copy first).
+    # o_norm stays bf16; products are exact in f32 (preferred f32).
+    w_exp = jnp.repeat(m_eff.astype(jnp.float32).T, dh, axis=1)  # (H2, proj)
+    mixed = jnp.einsum("hj,bqhxj->bqxj", w_exp, onorm,
+                       preferred_element_type=jnp.float32)
     out = mixed.reshape(batch, nq * block_q, proj)[:, :n, :]
     c_rep = jnp.repeat(c_eff.astype(jnp.float32), dh)    # (proj,)
     out = (out + (c_rep[None, :] * vsum)[:, None, :]).astype(q.dtype)
@@ -752,8 +771,8 @@ def _bn_vjp_bwd(num_heads, rate, block_q, block_k, interpret, eps,
     # --- fixed-stats cotangents (affine part) --------------------------------
     np_ = n + (-n % math.lcm(block_q, block_k))
     nq = np_ // block_q
-    g32p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, np_ - n), (0, 0)))
-    r = _r_blocked(onorm, g32p, batch, nq, block_q, heads, dh)
+    gp = jnp.pad(g, ((0, 0), (0, np_ - n), (0, 0)))      # storage dtype
+    r = _r_blocked(onorm, gp, batch, nq, block_q, heads, dh)
     dm_eff = jnp.einsum("bqhxp->ph", r)                  # (Hp, H2)
     gsum = jnp.sum(g.astype(jnp.float32), axis=1)        # (B, proj)
     dc_eff = jnp.sum((gsum * vsum.astype(jnp.float32)).reshape(

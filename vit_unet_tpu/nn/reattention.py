@@ -198,6 +198,34 @@ class ReAttention(nn.Module):
                 qy, ky, vy = (y + b for y, b in zip((qy, ky, vy), biases))
             return act(qy), act(ky), act(vy)
 
+        if (not self.is_initializing() and self.token_layout == "cm"
+                and q_in is k_in and k_in is v_in):
+            # fused coarse-level path: ONE NCHW conv (C -> 3C) for q/k/v.
+            # Channel-major tokens reshape to NCHW for free, and XLA's conv
+            # accepts that layout directly via dimension_numbers — the
+            # separate flax calls each forced an NHWC transpose in and out
+            # whose backward dominated the conv cost (~12 ms/step on base;
+            # HLO trace r3).  Same parameters, same math.
+            b, n, e = q_in.shape
+            c = self.num_channels
+            pats = unflatten(q_in, c)                    # (B, N, C, p, p)
+            p_sz = pats.shape[-1]
+            kcat = jnp.concatenate(
+                [conv.variables["params"]["kernel"]
+                 for conv in (self.qconv2d, self.kconv2d, self.vconv2d)],
+                axis=-1).astype(self.dtype)              # (k, k, C, 3C)
+            out = jax.lax.conv_general_dilated(
+                pats.reshape(b * n, c, p_sz, p_sz).astype(self.dtype), kcat,
+                (1, 1), "SAME", dimension_numbers=("NCHW", "HWIO", "NCHW"))
+            if self.qkv_bias:
+                bcat = jnp.concatenate(
+                    [conv.variables["params"]["bias"]
+                     for conv in (self.qconv2d, self.kconv2d, self.vconv2d)]
+                ).astype(self.dtype)
+                out = out + bcat.reshape(1, 3 * c, 1, 1)
+            qy, ky, vy = (out.reshape(b, n, 3, e)[:, :, i] for i in range(3))
+            return act(qy), act(ky), act(vy)
+
         def go(x, conv):
             return act(conv_tokens(x, conv, self.num_channels,
                                    layout=self.token_layout))
