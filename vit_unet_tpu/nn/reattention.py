@@ -155,10 +155,15 @@ class ReAttention(nn.Module):
     def scale(self) -> float:
         return self.qk_scale or (self.dim // self.num_heads) ** -0.5
 
-    #: widest token vector for which the conv-as-matmul QKV path pays: at
-    #: E <= 192 the dense (E, E) matmul's backward beats the conv's by ~0.4
-    #: ms/call (the conv's NHWC transposes dominate); at E >= 768 the conv's
-    #: 9·C-sparse structure wins on FLOPs (TPU microbenchmarks, round 2)
+    #: widest token vector for which the conv-as-matmul QKV path pays.
+    #: Measured (round-2 TPU microbenchmarks) at E <= 192: the dense (E, E)
+    #: matmul's backward beats the per-conv NHWC path by ~0.4 ms/call.  At
+    #: E >= 768 the conv's 9·C-sparse structure wins on FLOPs (the dense
+    #: operator is E/9C times more work), and since round 3 those levels run
+    #: the fused NCHW conv below, which removed the transpose overhead that
+    #: motivated the matmul form.  256 covers the gap conservatively: no
+    #: preset has a level at 192 < E < 768, so the threshold is untested
+    #: between the measured endpoints but also unexercised.
     _QKV_MATMUL_MAX_E = 256
 
     def _qkv(self, q_in, k_in, v_in):
