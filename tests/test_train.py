@@ -443,3 +443,21 @@ def test_gradient_clip_and_accumulation(tmp_path):
     delta = np.sqrt(sum(float(np.sum((b - a) ** 2))
                         for a, b in zip(q0, q1)))
     assert float(delta) <= 1e-3 * 1e-3 * 1.01   # lr * clip_norm
+
+
+def test_ssim_channels_last_matches_nchw():
+    """Regression (r3): channels-last inputs made the 11x11 VALID window
+    exceed the 3-wide trailing axis and ssim returned NaN."""
+    import numpy as np
+
+    from vit_unet_tpu.train.metrics import ssim
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(2, 3, 32, 32)), jnp.float32)
+    b = jnp.clip(a + jnp.asarray(rng.normal(scale=0.1, size=a.shape),
+                                 jnp.float32), 0, 1)
+    v_nchw = float(ssim(a, b))
+    v_nhwc = float(ssim(a.transpose(0, 2, 3, 1), b.transpose(0, 2, 3, 1)))
+    assert np.isfinite(v_nchw) and 0 < v_nchw < 1
+    np.testing.assert_allclose(v_nhwc, v_nchw, rtol=1e-5)
+    assert float(ssim(a, a)) > 0.999

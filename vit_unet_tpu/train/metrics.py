@@ -34,7 +34,18 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
          k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
     """Structural similarity, standard Gaussian-window (11, 1.5) formulation
-    (Wang et al. 2004, as in tf.image.ssim / ignite).  Inputs (B, C, H, W)."""
+    (Wang et al. 2004, as in tf.image.ssim / ignite).
+
+    Accepts (B, C, H, W) or (B, H, W, C) — channels-last inputs (the TF
+    model orientation) are detected by a thin (≤ 8) trailing axis and
+    transposed; without this the 11×11 VALID window exceeded the 3-wide
+    "width" axis and the metric returned NaN."""
+    if (pred.ndim == 4 and pred.shape[-1] <= 8
+            and pred.shape[-1] < pred.shape[1]):
+        pred = pred.transpose(0, 3, 1, 2)
+        target = target.transpose(0, 3, 1, 2)
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     kernel = _gaussian_kernel()[None, None]              # (1, 1, 11, 11)
     c = pred.shape[1]
     kernel = jnp.tile(kernel, (c, 1, 1, 1))              # depthwise
