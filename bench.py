@@ -84,7 +84,7 @@ def measure_preset(name: str, frozen_bn: bool = False) -> float:
     ``frozen_bn=False`` (the headline) trains with EXACT reference
     semantics — the head-mix BatchNorm uses this batch's own statistics,
     with full through-the-statistics gradients.  ``True`` is the documented
-    ~25%-faster frozen-running-stats mode.
+    ~10-20%-faster frozen-running-stats mode.
     """
     from vit_unet_tpu.models.vit_unet import get_vit_unet
     from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions

@@ -43,6 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _chunk_sum(p):
+    """(bq, bk) -> (bq, min(128, bk)) per-lane partial sums (full row sums
+    deferred to the epilogue; see flash_reattention_train._chunk_sum)."""
+    w = min(128, p.shape[1])
+    out = p[:, :w]
+    for j in range(1, p.shape[1] // w):
+        out = out + p[:, j * w:(j + 1) * w]
+    return out
+
+
 def _kernel(q_ref, k_ref, v_ref, vsum_ref, w_ref, b_ref, o_ref,
             m_s, l_s, acc_s, *, num_heads: int, n_valid: int, block_k: int):
     ki = pl.program_id(2)
@@ -74,7 +84,10 @@ def _kernel(q_ref, k_ref, v_ref, vsum_ref, w_ref, b_ref, o_ref,
         m_next = jnp.maximum(m_prev, m_curr)                # (block_q, 128)
         alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])      # (block_q, 1)
         p = jnp.exp(s - m_next[:, :1])                      # (block_q, block_k)
-        l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        # l as 128-lane partial sums: the online rescale commutes with
+        # per-lane partials, so the cross-lane reduction happens once per
+        # row-block in the epilogue instead of once per k-step
+        l_s[h] = alpha * l_prev + _chunk_sum(p)
         m_s[h] = m_next
         pv = jax.lax.dot(p.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)  # (bq, proj)
@@ -84,7 +97,7 @@ def _kernel(q_ref, k_ref, v_ref, vsum_ref, w_ref, b_ref, o_ref,
     def _epilogue():
         out = b_ref[0][None, :] * vsum_ref[0, 0][None, :]
         for h2 in range(num_heads):
-            l = l_s[h2][:, :1]
+            l = jnp.sum(l_s[h2], axis=1, keepdims=True)
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             out = out + w_ref[h2][None, :] * (acc_s[h2] * l_inv)
         o_ref[0] = out.astype(o_ref.dtype)
@@ -151,7 +164,8 @@ def flash_reattention(
                                    lambda bi, qi, ki: (bi, qi, 0)),
             scratch_shapes=[
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),   # m
-                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),   # l
+                pltpu.VMEM((num_heads, block_q, min(128, block_k)),
+                           jnp.float32),                              # l
                 pltpu.VMEM((num_heads, block_q, proj), jnp.float32),  # acc
             ],
         ),

@@ -58,6 +58,27 @@ NEG_INF = -1e30
 _INV_2_24 = 1.0 / float(1 << 24)
 
 
+def _lane_chunk(block_k: int) -> int:
+    """Lane width of deferred row-sum accumulators (see ``_chunk_sum``)."""
+    return min(128, block_k)
+
+
+def _chunk_sum(p):
+    """(bq, bk) -> (bq, min(128, bk)) per-lane partial sums.
+
+    Row sums inside the k-loop (softmax normaliser l, the BN stats S/C)
+    don't need their final (bq, 1) shape until the epilogue: the online
+    rescale ``acc = alpha * acc + new`` commutes with per-lane partials.
+    Accumulating 128-lane chunks turns one full cross-lane reduction per
+    quantity per k-step (the dominant VPU cost of the stats sweep) into
+    cheap lane-aligned adds, with a single real reduction per row-block."""
+    w = _lane_chunk(p.shape[1])
+    out = p[:, :w]
+    for j in range(1, p.shape[1] // w):
+        out = out + p[:, j * w:(j + 1) * w]
+    return out
+
+
 def _dropout_mask(seed_ref, rate: float, bi, h, qi, ki, nq: int, nk: int,
                   num_heads: int, shape):
     """Regenerable dropout keep-mask scale for one (b, h, q-tile, k-tile):
@@ -112,8 +133,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])
         p = jnp.exp(s - m_next[:, :1])
-        l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_s[h] = m_next
+        l_s[h] = alpha * l_prev + _chunk_sum(p)   # lane partials; reduced once
+        m_s[h] = m_next                           # per row-block in _epilogue
         if rate > 0.0:
             p = p * _dropout_mask(seed_ref, rate, bi, h, qi, ki, nq, nk,
                                   num_heads, (block_q, block_k))
@@ -126,7 +147,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
         o_norm = []
         lse_rows = []
         for h2 in range(num_heads):
-            l = l_s[h2][:, :1]
+            l = jnp.sum(l_s[h2], axis=1, keepdims=True)
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_norm.append(acc_s[h2] * l_inv)            # (bq, proj)
             # residual for the backward: A_h2 @ V_cat, normalised (and
@@ -310,7 +331,8 @@ def _fwd(q, k, v_cat, m_eff, c_eff, seed, *, num_heads, rate,
             ),
             scratch_shapes=[
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),
-                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),
+                pltpu.VMEM((num_heads, block_q, _lane_chunk(block_k)),
+                           jnp.float32),
                 pltpu.VMEM((num_heads, block_q, proj), jnp.float32),
             ],
         ),
@@ -564,33 +586,34 @@ def _bn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, s_ref, c_ref, lse_ref,
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])   # (bq, 1)
         p = jnp.exp(s - m_next[:, :1])
-        l_s[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        l_s[h] = alpha * l_prev + _chunk_sum(p)
         m_s[h] = m_next
         if rate > 0.0:
             p = p * _dropout_mask(seed_ref, rate, bi, h, qi, ki, nq, nk,
                                   num_heads, (block_q, block_k))
         p_tiles.append(p)                               # dropout-masked
-        ps_s[h] = alpha * ps_s[h] + jnp.sum(p, axis=1, keepdims=True)
+        ps_s[h] = alpha * ps_s[h] + _chunk_sum(p)
         pv = jax.lax.dot(p.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         acc_s[h] = acc_s[h] * alpha + pv
         alphas.append(alpha)
 
-    # cross sums: cc_s[h2][:, h3] += Σ_m A_h2 ⊙ A_h3 (relative to the
-    # running maxima, so rescale by alpha_h2 · alpha_h3 per step).
-    # C is symmetric — compute the upper triangle only (~half the VPU work)
-    alpha_row = jnp.concatenate(
-        alphas + [jnp.ones((block_q, 128 - num_heads), jnp.float32)], axis=1)
-    prods = {}
+    # cross sums, C symmetric upper triangle only: per pair accumulate
+    # 128-lane partials of Σ_m A_h2 ⊙ A_h3 (relative to the running maxima,
+    # so rescale by alpha_h2 · alpha_h3).  No cross-lane reduction and no
+    # lane-scatter concat in the k-loop — both deferred to the epilogue
+    # (the per-step reduces+concats were the dominant stats-sweep cost).
+    w = _lane_chunk(block_k)
+    nchunk = block_k // w
+    pi = 0
     for h2 in range(num_heads):
         for h3 in range(h2, num_heads):
-            prods[(h2, h3)] = jnp.sum(p_tiles[h2] * p_tiles[h3], axis=1,
-                                      keepdims=True)
-    for h2 in range(num_heads):
-        new = jnp.concatenate(
-            [prods[(min(h2, h3), max(h2, h3))] for h3 in range(num_heads)]
-            + [jnp.zeros((block_q, 128 - num_heads), jnp.float32)], axis=1)
-        cc_s[h2] = alphas[h2] * alpha_row * cc_s[h2] + new
+            prod = p_tiles[h2][:, :w] * p_tiles[h3][:, :w]
+            for j in range(1, nchunk):
+                sl = slice(j * w, (j + 1) * w)
+                prod = prod + p_tiles[h2][:, sl] * p_tiles[h3][:, sl]
+            cc_s[pi] = (alphas[h2] * alphas[h3]) * cc_s[pi] + prod
+            pi += 1
 
     @pl.when(ki == nk - 1)
     def _epilogue():
@@ -601,20 +624,27 @@ def _bn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, s_ref, c_ref, lse_ref,
         s_rows = []
         lse_rows = []
         for h in range(num_heads):
-            l = l_s[h][:, :1]
+            l = jnp.sum(l_s[h], axis=1, keepdims=True)
             linv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             linvs.append(linv)
-            sval = jnp.where(row_valid, ps_s[h][:, :1] * linv, 0.0)
-            s_rows.append(sval.T)                        # (1, bq)
+            sval = jnp.sum(ps_s[h], axis=1, keepdims=True) * linv
+            s_rows.append(jnp.where(row_valid, sval, 0.0).T)  # (1, bq)
             lse_rows.append(
                 (m_s[h][:, :1] + jnp.log(jnp.maximum(l, 1e-30))).T)
             onorm_ref[0, 0, h] = (acc_s[h] * linv).astype(onorm_ref.dtype)
         s_ref[0, 0] = jnp.concatenate(s_rows, axis=0)    # (H, bq)
         lse_ref[0, 0] = jnp.concatenate(lse_rows, axis=0)
+        csums = {}
+        pi = 0
+        for h2 in range(num_heads):
+            for h3 in range(h2, num_heads):
+                csums[(h2, h3)] = jnp.sum(cc_s[pi], axis=1, keepdims=True)
+                pi += 1
         for h2 in range(num_heads):
             rows = []
             for h3 in range(num_heads):
-                cval = cc_s[h2][:, h3:h3 + 1] * linvs[h2] * linvs[h3]
+                cval = (csums[(min(h2, h3), max(h2, h3))]
+                        * linvs[h2] * linvs[h3])
                 rows.append(jnp.where(row_valid, cval, 0.0).T)
             c_ref[0, 0, h2] = jnp.concatenate(rows, axis=0)  # (H3, bq)
 
@@ -660,9 +690,12 @@ def _bn_fwd(q, k, v_cat, seed, *, num_heads, rate, block_q, block_k,
             ),
             scratch_shapes=[
                 pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # m
-                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # l
-                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # ps
-                pltpu.VMEM((num_heads, block_q, 128), jnp.float32),  # cc
+                pltpu.VMEM((num_heads, block_q, _lane_chunk(block_k)),
+                           jnp.float32),                             # l
+                pltpu.VMEM((num_heads, block_q, _lane_chunk(block_k)),
+                           jnp.float32),                             # ps
+                pltpu.VMEM((heads * (heads + 1) // 2, block_q,
+                            _lane_chunk(block_k)), jnp.float32),     # cc pairs
                 pltpu.VMEM((num_heads, block_q, proj), jnp.float32),  # acc
             ],
         ),

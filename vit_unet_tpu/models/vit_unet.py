@@ -64,7 +64,7 @@ class ViTUNetConfig:
                                      # dropout, exact batch-stats BN head-mix
                                      # (see kernels/ docstrings)
     flash_frozen_bn: bool = False    # fast training mode: freeze the head-
-                                     # mix BN at running stats (~25% faster,
+                                     # mix BN at running stats (~10-20% faster,
                                      # no running-average updates)
     sequence_parallel: bool = False  # shard the token axis of long fine-level
                                      # sequences over the mesh 'model' axis,

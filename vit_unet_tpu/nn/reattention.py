@@ -115,7 +115,7 @@ class ReAttention(nn.Module):
                                # dropout; exact batch-stats BN by default
                                # (kernels/flash_reattention_train.py)
     flash_frozen_bn: bool = False  # fast mode: freeze the head-mix BN at its
-                               # running statistics during training (~25%
+                               # running statistics during training (~10-20%
                                # faster; round-1 headline semantics, no
                                # running-average updates)
     sequence_parallel: bool = False  # shard the token axis over sp_axis and
@@ -277,13 +277,26 @@ class ReAttention(nn.Module):
         (H, block, proj) f32 accumulators would blow even the raised VMEM
         budget.  256 is restricted to per-head dim <= 32 — Mosaic crashes on
         e.g. (H=8, dh=48, block 256) multi-tile grids — and to <= 8 heads
-        (the 16-head envelope is block-128-validated; TPU shape sweeps)."""
+        (the 16-head envelope is block-128-validated; TPU shape sweeps).
+
+        At long fine levels, 512 vs 640 is chosen by padded-token waste:
+        the kernels pad N to a tile multiple, and big tiles beat tight
+        padding only at equal waste (r3 TPU tile sweep, tools/tile_bench:
+        N=3136 pads 3584 with 512 tiles vs 3200 with 640 — (640,640) is
+        24% faster; N=784 pads 1024 with 512 vs 1280 with 640 — (512,512)
+        wins, and every thin-bk variant (896,128)/(448,128) that removed
+        padding entirely lost to per-k-step overheads)."""
         dh = self.dim // self.num_heads
         if dh > 192:
             return 64
         if (self.dim <= 256 and n >= 512 and dh <= 32
                 and self.num_heads <= 8):
-            return 512   # long fine levels: 2x over 256 tiles (TPU hunt)
+            # long fine levels: minimise padded-N waste between 2x tiles
+            # (640 validated at <= 4 heads; 8-head backwards keep 4 per-head
+            # (bq, bk) f32 tile sets live — 640² would graze the VMEM budget)
+            if self.num_heads <= 4:
+                return min((512, 640), key=lambda b: (-n % b, b))
+            return 512
         return 256 if (self.dim <= 512 and n >= 256 and dh <= 32
                        and self.num_heads <= 8) else 128
 
@@ -327,7 +340,7 @@ class ReAttention(nn.Module):
         BatchNorm normalises with this batch's own moments, the running
         averages are updated, and the gradient includes the
         through-the-statistics terms (flash_reattention_train_bn).
-        ``True`` (or ``flash_frozen_bn=True``, the explicit ~25%-faster
+        ``True`` (or ``flash_frozen_bn=True``, the explicit ~10-20%-faster
         mode) runs the frozen-running-stats variant."""
         from vit_unet_tpu.kernels.flash_reattention_train import (
             flash_reattention_train, flash_reattention_train_bn)
