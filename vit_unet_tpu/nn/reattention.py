@@ -269,36 +269,48 @@ class ReAttention(nn.Module):
             reatten_scale=self.scale if self.transform_scale else 1.0)
 
     def _flash_block(self, n: int) -> int:
-        """Adaptive kernel tile size: 256 wins ~20% compute at the fine
-        levels (small proj, many tokens — measured at the base bottleneck);
-        128 keeps VMEM scratch (H, block, proj) bounded for wide-proj coarse
-        levels and avoids 2x padding waste for short sequences; 64 for the
-        very wide per-head dims (dh > 192, the 3072-proj coarse level) where
-        (H, block, proj) f32 accumulators would blow even the raised VMEM
-        budget.  256 is restricted to per-head dim <= 32 — Mosaic crashes on
-        e.g. (H=8, dh=48, block 256) multi-tile grids — and to <= 8 heads
-        (the 16-head envelope is block-128-validated; TPU shape sweeps).
+        """Adaptive kernel tile size, from the r3 TPU tile sweeps
+        (tools/tile_bench.jsonl; all numbers fwd+bwd per call):
 
-        At long fine levels, 512 vs 640 is chosen by padded-token waste:
-        the kernels pad N to a tile multiple, and big tiles beat tight
-        padding only at equal waste (r3 TPU tile sweep, tools/tile_bench:
-        N=3136 pads 3584 with 512 tiles vs 3200 with 640 — (640,640) is
-        24% faster; N=784 pads 1024 with 512 vs 1280 with 640 — (512,512)
-        wins, and every thin-bk variant (896,128)/(448,128) that removed
-        padding entirely lost to per-k-step overheads)."""
+        * thin heads (dh <= 48): 512 tiles win big — lite level-2
+          (H4, dh48, N784) -25% vs 128; H8/dh48/N784 -14%.  The round-2
+          "Mosaic crashes at (H8, dh48, block 256)" belonged to the old
+          3-pass backward; the fused single-pass design compiles to 512.
+        * long fine levels (dh <= 32, H <= 4): 512 vs 640 chosen by
+          padded-token waste (N=3136 pads 3200 with 640 vs 3584 with 512 —
+          640 is -24%; N=784 favours 512).  Thin-bk variants that removed
+          padding entirely, (896,128)/(448,128), lost to per-k-step
+          overheads, and (896,896) still Mosaic-crashes: 512/640 is the
+          practical ceiling.
+        * mid levels (dh <= 96): 256 wins both single-tile (H8, dh96,
+          N196: -16% train / -12% bn) and multi-tile (H8, dh96, N1024:
+          -19% / -14%); (512,512) at proj=768 Mosaic-crashes, so 256 is
+          the ceiling here.
+        * wide heads at single-k-tile lengths (dh <= 384, n <= 256): 256
+          wins -15% vs the old 64 (notebook512 coarse, H8/dh384/N256);
+          multi-tile wide-proj grids keep 64 for VMEM ((H, block, 3072)
+          f32 accumulators).
+        * H = 16 (classifier envelope) stays block-128-validated.
+
+        For n in (128, 256] every tile <= 256 pads N to 256, so 256 is
+        free of padding waste exactly where it wins; the fine levels pick
+        between 512/640 by `-n % b`."""
         dh = self.dim // self.num_heads
+        heads = self.num_heads
         if dh > 192:
-            return 64
-        if (self.dim <= 256 and n >= 512 and dh <= 32
-                and self.num_heads <= 8):
+            return 256 if n <= 256 else 64
+        if dh <= 32 and heads <= 4 and self.dim <= 256 and n >= 512:
             # long fine levels: minimise padded-N waste between 2x tiles
-            # (640 validated at <= 4 heads; 8-head backwards keep 4 per-head
-            # (bq, bk) f32 tile sets live — 640² would graze the VMEM budget)
-            if self.num_heads <= 4:
-                return min((512, 640), key=lambda b: (-n % b, b))
+            return min((512, 640), key=lambda b: (-n % b, b))
+        if dh <= 48 and heads <= 8 and n >= 512:
             return 512
-        return 256 if (self.dim <= 512 and n >= 256 and dh <= 32
-                       and self.num_heads <= 8) else 128
+        if heads <= 8 and n > 128 and (dh <= 96 or n <= 256):
+            # 256 tolerates moderate extra padding (measured: N=784/dh48
+            # prefers 256's 1024-pad over 128's 896-pad) but not the
+            # short-sequence worst cases (e.g. N=320: 512-pad vs 384-pad)
+            if (-n % 256) - (-n % 128) <= n // 4:
+                return 256
+        return 128
 
     @staticmethod
     def _interpret(*arrays) -> bool:
