@@ -55,7 +55,10 @@ def run(preset: str, mode: str, outdir: str):
 
 def bucket(name: str) -> str:
     n = name.lower()
-    if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
+    if ("custom-call" in n or "pallas" in n or "tpu_custom_call" in n
+            or "_attend_flash" in n or "flash_reattention" in n):
+        # the profiler names custom-calls after their source op (e.g.
+        # ReAttn._attend_flash_train.29), not the HLO opcode
         return "flash kernels"
     if n.startswith("fusion") or ".fusion" in n:
         return "fusion"
@@ -101,6 +104,8 @@ def parse(outdir: str):
             continue
         dur = e.get("dur", 0) / 1e3 / STEPS   # us -> ms, per step
         name = e.get("name", "?")
+        if name.startswith("jit_"):   # whole-module event, not an op
+            continue
         args = e.get("args") or {}
         long = args.get("long_name") or args.get("tf_op") or ""
         per_op[(name, long[:90])] += dur
