@@ -275,3 +275,36 @@ def test_interpret_keys_on_data_device(monkeypatch):
             lambda t: ReAttention._interpret(t, t, t))(x).item() is False
     finally:
         jax.config.update("jax_default_device", pinned)
+
+
+def test_bn_eps_plumbs_through_both_paths():
+    """``bn_eps`` must reach the head-mix BatchNorm on the XLA path AND the
+    folded affine on the flash path (it defaults to the reference's 1e-5;
+    1e-3 is the documented trainable-exact-BN setting).  Uses a tiny running
+    variance so eps dominates the fold and any divergence is loud."""
+    from vit_unet_tpu.nn.reattention import ReAttention
+
+    heads, p, c = 4, 4, 3
+    dim = c * p * p
+    n, batch = 128, 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(batch, n, dim)), jnp.float32)
+
+    kw = dict(dim=dim, num_channels=c, num_heads=heads, apply_transform=True)
+    outs = {}
+    for eps in (1e-5, 1e-3):
+        ref_mod = ReAttention(use_flash=False, bn_eps=eps, **kw)
+        fl_mod = ReAttention(use_flash=True, bn_eps=eps, **kw)
+        variables = ref_mod.init(jax.random.key(0), x)
+        variables = jax.tree_util.tree_map(lambda a: a, variables)
+        variables["batch_stats"]["var_norm"]["var"] = jnp.full(
+            (heads,), 1e-6, jnp.float32)
+        ref = ref_mod.apply(variables, x, deterministic=True,
+                            use_running_average=True)
+        out = fl_mod.apply(variables, x, deterministic=True,
+                           use_running_average=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+        outs[eps] = np.asarray(out)
+    # the knob must actually change the function
+    assert np.abs(outs[1e-5] - outs[1e-3]).max() > 1e-3

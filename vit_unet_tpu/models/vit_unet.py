@@ -66,6 +66,11 @@ class ViTUNetConfig:
     flash_frozen_bn: bool = False    # fast training mode: freeze the head-
                                      # mix BN at running stats (~10-20% faster,
                                      # no running-average updates)
+    attn_bn_eps: float = 1e-5        # head-mix BatchNorm eps.  1e-5 = torch
+                                     # reference parity (never trained there);
+                                     # 1e-3 (Keras default, the reference's
+                                     # trained TF variant) makes exact-BN
+                                     # training stable — docs/PERF.md
     sequence_parallel: bool = False  # shard the token axis of long fine-level
                                      # sequences over the mesh 'model' axis,
                                      # all-gathering K/V over ICI per layer
@@ -153,7 +158,7 @@ class ViTUNet(nn.Module):
                 proj_drop=cfg.proj_drop, linear_drop=cfg.linear_drop,
                 qkv_kernel=cfg.qkv_kernel, ln_mode=cfg.ln_mode,
                 use_flash=cfg.use_flash, flash_train=cfg.flash_train,
-                flash_frozen_bn=cfg.flash_frozen_bn,
+                flash_frozen_bn=cfg.flash_frozen_bn, bn_eps=cfg.attn_bn_eps,
                 sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
                 sp_min_tokens=cfg.sp_min_tokens,
                 dtype=dt, param_dtype=pdt)
@@ -172,7 +177,7 @@ class ViTUNet(nn.Module):
                 qkv_kernel=cfg.qkv_kernel, attn_drop=cfg.attn_drop,
                 proj_drop=cfg.proj_drop, use_flash=cfg.use_flash,
                 flash_train=cfg.flash_train,
-                flash_frozen_bn=cfg.flash_frozen_bn,
+                flash_frozen_bn=cfg.flash_frozen_bn, bn_eps=cfg.attn_bn_eps,
                 sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
                 sp_min_tokens=cfg.sp_min_tokens, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]

@@ -40,6 +40,7 @@ class ReAttentionEncoderBlock(nn.Module):
     sp_mesh: Optional[object] = None
     sp_min_tokens: int = 1024
     bn_axis_name: Optional[str] = None
+    bn_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -52,8 +53,8 @@ class ReAttentionEncoderBlock(nn.Module):
             flash_frozen_bn=self.flash_frozen_bn,
             sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
             sp_min_tokens=self.sp_min_tokens,
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            param_dtype=self.param_dtype)
+            bn_axis_name=self.bn_axis_name, bn_eps=self.bn_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype)
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-5, reduction_axes=(-2, -1), feature_axes=(-2, -1),
             dtype=self.dtype, param_dtype=self.param_dtype, name=name)

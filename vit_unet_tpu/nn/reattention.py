@@ -127,6 +127,12 @@ class ReAttention(nn.Module):
                                                  # to the ambient abstract mesh
     sp_min_tokens: int = 1024  # SP only pays at fine (long-token) levels
     bn_axis_name: Optional[str] = None
+    bn_eps: float = 1e-5   # head-mix BatchNorm epsilon.  1e-5 is reference
+                           # parity (torch BatchNorm2d default — but note the
+                           # reference never trained its torch model); the
+                           # Keras default 1e-3 (its trained TF variant) is
+                           # the documented trainable-exact-BN setting, see
+                           # docs/PERF.md "End-to-end training behavior"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -143,7 +149,7 @@ class ReAttention(nn.Module):
                 self.num_heads, (1, 1), dtype=self.dtype,
                 param_dtype=self.param_dtype, name="reatten_matrix")
             self.var_norm = nn.BatchNorm(
-                momentum=0.9, epsilon=1e-5, axis=-1,
+                momentum=0.9, epsilon=self.bn_eps, axis=-1,
                 axis_name=self.bn_axis_name, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="var_norm")
         self.attn_dropout = nn.Dropout(self.attn_drop)
@@ -265,7 +271,7 @@ class ReAttention(nn.Module):
         bs = self.var_norm.variables["batch_stats"]
         return fold_reattention_compact(
             cp["kernel"], cp["bias"], bp["scale"], bp["bias"],
-            bs["mean"], bs["var"], eps=1e-5,
+            bs["mean"], bs["var"], eps=self.bn_eps,
             reatten_scale=self.scale if self.transform_scale else 1.0)
 
     def _flash_block(self, n: int) -> int:
@@ -377,7 +383,7 @@ class ReAttention(nn.Module):
             (q * self.scale).astype(self.dtype), k.astype(self.dtype),
             v_cat, cp["kernel"].reshape(self.num_heads, self.num_heads).T,
             cp["bias"], bp["scale"], bp["bias"], seed, self.num_heads, rate,
-            blk, blk, interp, 1e-5,
+            blk, blk, interp, self.bn_eps,
             self.scale if self.transform_scale else 1.0)
         # feed the exact batch moments into var_norm's running averages via
         # a 2-point tensor whose batch statistics are (mu, var) — flax's EMA
@@ -461,7 +467,7 @@ class ReAttention(nn.Module):
             q, k.astype(self.dtype), v.astype(self.dtype),
             cp["kernel"].reshape(self.num_heads, self.num_heads), cp["bias"],
             bp["scale"], bp["bias"], mesh, dropout_rng=rng, rate=rate,
-            axis=self.sp_axis, data_axis=self.sp_data_axis, eps=1e-5,
+            axis=self.sp_axis, data_axis=self.sp_data_axis, eps=self.bn_eps,
             reatten_scale=self.scale if self.transform_scale else 1.0,
             running_stats=running)
         if not use_running_average:
@@ -545,6 +551,12 @@ class SkipConnection(nn.Module):
     sp_mesh: Optional[jax.sharding.Mesh] = None
     sp_min_tokens: int = 1024
     bn_axis_name: Optional[str] = None
+    bn_eps: float = 1e-5   # head-mix BatchNorm epsilon.  1e-5 is reference
+                           # parity (torch BatchNorm2d default — but note the
+                           # reference never trained its torch model); the
+                           # Keras default 1e-3 (its trained TF variant) is
+                           # the documented trainable-exact-BN setting, see
+                           # docs/PERF.md "End-to-end training behavior"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -561,8 +573,8 @@ class SkipConnection(nn.Module):
             flash_frozen_bn=self.flash_frozen_bn,
             sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
             sp_min_tokens=self.sp_min_tokens,
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="attn")
+            bn_axis_name=self.bn_axis_name, bn_eps=self.bn_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn")
         qh, kh, vh = inner._qkv(q, k, v)
         out = inner._attend(qh, kh, vh, deterministic=deterministic,
                             use_running_average=use_running_average)
