@@ -461,3 +461,22 @@ def test_ssim_channels_last_matches_nchw():
     assert np.isfinite(v_nchw) and 0 < v_nchw < 1
     np.testing.assert_allclose(v_nhwc, v_nchw, rtol=1e-5)
     assert float(ssim(a, a)) > 0.999
+
+
+def test_dispatch_depth_bounded_queue(tmp_path):
+    """The bounded dispatch queue (dispatch_depth) must aggregate exactly the
+    same per-step metrics as an effectively-unbounded one — every step read
+    back exactly once, in order, across epochs (including the drain of the
+    final partial window)."""
+    from vit_unet_tpu.data.loader import DataLoader
+
+    ds = SyntheticDenoise()
+    histories = []
+    for depth in (1, 2, 1000):
+        fitter = small_fitter(tmp_path, dispatch_depth=depth)
+        dl = DataLoader(ds, 4, shuffle=False, num_workers=0)
+        h = fitter.fit(lambda: iter(dl), n_epochs=2, verbose=False)
+        histories.append(h["loss"])
+    assert len(histories[0]) == 2
+    for other in histories[1:]:
+        np.testing.assert_allclose(histories[0], other, rtol=1e-6)

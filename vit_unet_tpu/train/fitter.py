@@ -62,11 +62,20 @@ class Fitter:
         seed: int = 42,
         gradient_clip_norm: Optional[float] = None,
         grad_accum_steps: int = 1,
+        dispatch_depth: int = 8,
     ):
         """``gradient_clip_norm``: global-norm clipping before the optimizer
         update.  ``grad_accum_steps > 1``: accumulate that many micro-batch
         gradients before each parameter update (optax.MultiSteps) — the
-        standard way to train at an effective batch the chip can't hold."""
+        standard way to train at an effective batch the chip can't hold.
+
+        ``dispatch_depth``: max train steps in flight before the host reads
+        back the oldest step's metrics (a scalar D2H barrier).  JAX dispatch
+        is async; an *unbounded* epoch (the naive loop) queues every step's
+        donated buffers until the epoch-end sync, which degrades
+        pathologically on remote/tunnelled backends and can pile up live
+        donated state.  A small bound keeps the device saturated (dispatch
+        overlaps device work) while the queue stays shallow."""
         self.model = model
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
@@ -88,6 +97,7 @@ class Fitter:
                 optax.clip_by_global_norm(gradient_clip_norm), self.tx)
         if grad_accum_steps > 1:
             self.tx = optax.MultiSteps(self.tx, grad_accum_steps)
+        self.dispatch_depth = max(1, int(dispatch_depth))
         self.loss_fn = _as_loss(loss)
         self.metric_fns = _as_metrics(metrics)
         self.checkpoint_dir = checkpoint_dir
@@ -306,14 +316,27 @@ class Fitter:
             else:
                 data = train_data() if callable(train_data) else train_data
             n_steps = 0
+            # bounded dispatch queue: metrics from step i are read back
+            # (scalar D2H barrier) once step i+depth has been dispatched,
+            # overlapping host dispatch with device work without letting
+            # donated buffers pile up unboundedly (see __init__ docstring)
+            from collections import deque
+            pending: deque = deque()
             for i, batch in enumerate(data):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
                 self.state, out = self.steps.train_step(
                     self.state, self._device_batch(batch))
                 n_steps += 1
-                for k, v in out.items():
-                    agg.setdefault(k, []).append(v)
+                pending.append(out)
+                if len(pending) > self.dispatch_depth:
+                    old = pending.popleft()
+                    for k, v in old.items():
+                        agg.setdefault(k, []).append(float(v))
+            while pending:
+                old = pending.popleft()
+                for k, v in old.items():
+                    agg.setdefault(k, []).append(float(v))
             if n_steps == 0:
                 raise ValueError(
                     f"train_data yielded no batches for epoch {epoch} — a "
