@@ -480,3 +480,21 @@ def test_dispatch_depth_bounded_queue(tmp_path):
     assert len(histories[0]) == 2
     for other in histories[1:]:
         np.testing.assert_allclose(histories[0], other, rtol=1e-6)
+
+
+def test_async_save_then_load(tmp_path):
+    """A non-blocking save must be committed by load()'s internal barrier —
+    no explicit wait needed between save(block=False) and load()."""
+    from vit_unet_tpu.data.loader import DataLoader
+
+    ds = SyntheticDenoise()
+    fitter = small_fitter(tmp_path)
+    dl = DataLoader(ds, 4, shuffle=False, num_workers=0)
+    fitter.fit(lambda: iter(dl), n_epochs=1, verbose=False, save_best=False)
+    p = fitter.save("async-ckpt", block=False)
+    fitter.load("async-ckpt")               # waits internally
+    assert os.path.isdir(p)
+    # a second async save to the same path serialises behind the first
+    fitter.save("async-ckpt", block=False)
+    fitter.finalize_checkpoints()
+    fitter.load("async-ckpt")

@@ -162,12 +162,33 @@ class Fitter:
     def _ckpt_path(self, name: str) -> str:
         return os.path.abspath(os.path.join(self.checkpoint_dir, name))
 
-    def save(self, name: str = "best-checkpoint",
-             extra: Optional[dict] = None) -> str:
-        import orbax.checkpoint as ocp
+    @property
+    def _checkpointer(self):
+        """One long-lived async orbax checkpointer.  A fresh instance per
+        save would be GC'd while its background write thread still runs;
+        a shared one also lets saves overlap training (see ``save``)."""
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
 
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
+
+    def finalize_checkpoints(self) -> None:
+        """Block until any in-flight async checkpoint write has committed."""
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
+
+    def save(self, name: str = "best-checkpoint",
+             extra: Optional[dict] = None, block: bool = True) -> str:
+        """Write a full-state checkpoint.  ``block=False`` returns once the
+        arrays are copied off-device and lets the disk write proceed in a
+        background thread (orbax async save) — the fit loop uses this so a
+        save overlaps the next epoch's compute.  Donation safety: the D2H
+        copy happens synchronously inside ``save``, so the training step is
+        free to donate/overwrite the live state immediately after."""
         path = self._ckpt_path(name)
-        ckptr = ocp.StandardCheckpointer()
+        ckptr = self._checkpointer
+        ckptr.wait_until_finished()          # one in-flight save at a time
         payload = {"params": self.state.params,
                    "opt_state": self.state.opt_state,
                    "batch_stats": self.state.batch_stats,
@@ -176,15 +197,15 @@ class Fitter:
         if extra:
             payload["extra"] = extra
         ckptr.save(path, payload, force=True)
-        ckptr.wait_until_finished()
+        if block:
+            ckptr.wait_until_finished()
         return path
 
     def load(self, name: str = "best-checkpoint",
              with_extra: bool = False):
-        import orbax.checkpoint as ocp
-
         path = self._ckpt_path(name)
-        ckptr = ocp.StandardCheckpointer()
+        self.finalize_checkpoints()          # don't read a half-written dir
+        ckptr = self._checkpointer
         template = {"params": self.state.params,
                     "opt_state": self.state.opt_state,
                     "batch_stats": self.state.batch_stats,
@@ -358,10 +379,10 @@ class Fitter:
                     monitored < self.best if self.mode == "min"
                     else monitored > self.best):
                 self.best = monitored
-                self.save()
+                self.save(block=False)       # write overlaps the next epoch
                 logs["checkpoint_saved"] = True
             if save_last:
-                self.save("last-checkpoint",
+                self.save("last-checkpoint", block=False,
                           extra={"epoch": epoch, "best": float(self.best)})
 
             for k, v in logs.items():
@@ -375,6 +396,7 @@ class Fitter:
             if self.stop_training:
                 break
 
+        self.finalize_checkpoints()          # commit any in-flight save
         for cb in callbacks:
             cb.on_train_end(self)
         return self.history
