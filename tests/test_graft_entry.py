@@ -87,3 +87,39 @@ def test_entry_returns_jittable():
     out = jax.eval_shape(fn, *example_args)
     x = example_args[-1]
     assert out.shape == x.shape and out.dtype == x.dtype
+
+
+def test_dryrun_multichip_wedged_default_backend():
+    """Round-3 hardening: a tunnelled TPU plugin can HANG at client *init*
+    (observed live: axon relay wedge, 2026-08-17) rather than error — and
+    ``jax.devices("cpu")`` initialises every registered platform, so even the
+    CPU query blocks.  ``dryrun_multichip`` must restrict platform discovery
+    to CPU before its first backend init.  This test registers a
+    highest-priority backend whose factory sleeps forever (mimicking
+    ``axon.register``'s ``jax_platforms="axon,cpu"`` selection); if the gate
+    ever consults it, the subprocess exceeds its timeout and the test fails.
+    """
+    script = """
+import time
+import jax
+from jax._src import xla_bridge as xb
+
+def _hang_factory(*args, **kwargs):
+    time.sleep(3600)
+
+xb.register_backend_factory("hangtpu", _hang_factory, priority=500)
+jax.config.update("jax_platforms", "hangtpu,cpu")
+
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)
+
+d = jax.config.jax_default_device
+assert d is not None and d.platform == "cpu", d
+print("WEDGED_DRYRUN_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=REPO, env=_driver_env(8), capture_output=True, text=True,
+        timeout=300)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "WEDGED_DRYRUN_OK" in proc.stdout
