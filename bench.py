@@ -134,29 +134,48 @@ def main() -> None:
     flops = {name: model_flops_per_image(name) for name in names}
 
     def mfu(img_per_s, name):
-        if peak is None or flops[name] is None:
+        if peak is None or flops[name] is None or img_per_s is None:
             return None
         return round(img_per_s * flops[name] / peak, 4)
 
-    results = {name: measure_preset(name) for name in names}
-    fast = {name: measure_preset(name, frozen_bn=True) for name in names}
+    def r2(v):
+        return round(v, 2) if v is not None else None
+
+    def ratio(v):
+        return round(v / BASELINE_IMG_PER_SEC_PER_CHIP, 2) if v is not None \
+            else None
+
+    def robust(name, frozen):
+        """One preset's throughput, or None — a transiently flaky chip (or a
+        Mosaic regression in one preset) must not zero out the whole bench
+        artifact for the round."""
+        try:
+            return measure_preset(name, frozen_bn=frozen)
+        except Exception as e:
+            import sys
+            print(f"bench: {name} frozen={frozen} failed: {e!r}",
+                  file=sys.stderr)
+            return None
+
+    results = {name: robust(name, False) for name in names}
+    fast = {name: robust(name, True) for name in names}
     base = results["base"]
     print(json.dumps({
         "metric": "images/sec/chip, base 224^2 train step "
                   "(bf16, flash, exact batch-stats BN)",
-        "value": round(base, 2),
+        "value": r2(base),
         "unit": "img/s/chip",
-        "vs_baseline": round(base / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
-        "lite": round(results["lite"], 2),
-        "large": round(results["large"], 2),
-        "lite_vs_baseline": round(results["lite"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
-        "large_vs_baseline": round(results["large"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        "vs_baseline": ratio(base),
+        "lite": r2(results["lite"]),
+        "large": r2(results["large"]),
+        "lite_vs_baseline": ratio(results["lite"]),
+        "large_vs_baseline": ratio(results["large"]),
         # frozen-running-stats fast mode (flash_frozen_bn=True)
-        "base_fast": round(fast["base"], 2),
-        "lite_fast": round(fast["lite"], 2),
-        "large_fast": round(fast["large"], 2),
-        "base_fast_vs_baseline": round(fast["base"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
-        "lite_fast_vs_baseline": round(fast["lite"] / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+        "base_fast": r2(fast["base"]),
+        "lite_fast": r2(fast["lite"]),
+        "large_fast": r2(fast["large"]),
+        "base_fast_vs_baseline": ratio(fast["base"]),
+        "lite_fast_vs_baseline": ratio(fast["lite"]),
         # model FLOPs/img (XLA cost_analysis of the pure-XLA train step:
         # fwd+bwd+optimizer) and MFU against the chip's bf16 peak
         # (v5e: 197 TFLOP/s)
