@@ -89,6 +89,38 @@ def test_entry_returns_jittable():
     assert out.shape == x.shape and out.dtype == x.dtype
 
 
+def test_bench_emits_null_artifact_on_wedged_backend():
+    """bench.py is the round's other driver artifact: if the tunnelled TPU
+    plugin hangs at client init (the observed wedge mode), the bench must
+    emit a null JSON line and exit 0 rather than hang the driver's bench
+    step forever with no artifact."""
+    import json
+
+    script = """
+import time
+import jax
+from jax._src import xla_bridge as xb
+
+def _hang_factory(*args, **kwargs):
+    time.sleep(3600)
+
+xb.register_backend_factory("hangtpu", _hang_factory, priority=500)
+jax.config.update("jax_platforms", "hangtpu")
+
+import bench
+bench._devices_bounded(timeout_s=3.0)
+print("UNREACHABLE")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=REPO, env=_driver_env(8), capture_output=True, text=True,
+        timeout=120)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "UNREACHABLE" not in proc.stdout
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["value"] is None and "error" in line, line
+
+
 def test_dryrun_multichip_wedged_default_backend():
     """Round-3 hardening: a tunnelled TPU plugin can HANG at client *init*
     (observed live: axon relay wedge, 2026-08-17) rather than error — and
