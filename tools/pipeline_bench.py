@@ -55,18 +55,21 @@ def timed_sync_every(state, steps, data, iters=10):
     return sorted(times)[len(times) // 2], state
 
 
-def timed_depth2(state, steps, data, iters=10):
-    """Depth-2 pipeline: sync step i-1's loss before dispatching step i+1.
-    Throughput over the whole window (per-step timing is ill-defined when
-    dispatch overlaps device work)."""
-    pending = None
+def timed_depth(state, steps, data, depth=2, iters=10):
+    """Bounded-depth pipeline (the Fitter's dispatch model): keep at most
+    ``depth`` unsynced steps in flight, syncing the oldest pending loss
+    before dispatching past the bound.  Throughput over the whole window
+    (per-step timing is ill-defined when dispatch overlaps device work)."""
+    from collections import deque
+    pending = deque()
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = steps.train_step(state, data)
-        if pending is not None:
-            float(pending)
-        pending = m["loss"]
-    float(pending)
+        pending.append(m["loss"])
+        if len(pending) >= depth:
+            float(pending.popleft())
+    while pending:
+        float(pending.popleft())
     dt = (time.perf_counter() - t0) / iters
     return dt, state
 
@@ -83,10 +86,13 @@ def main():
                 state, m = steps.train_step(state, data)
                 float(m["loss"])
             dt_s, state = timed_sync_every(state, steps, data)
-            dt_p, state = timed_depth2(state, steps, data)
-            print(f"{preset} {mode} b{batch}: sync-every {dt_s*1e3:7.1f} ms "
-                  f"({batch/dt_s:6.1f} img/s) | depth-2 {dt_p*1e3:7.1f} ms "
-                  f"({batch/dt_p:6.1f} img/s)", flush=True)
+            row = (f"{preset} {mode} b{batch}: sync-every {dt_s*1e3:7.1f} ms "
+                   f"({batch/dt_s:6.1f} img/s)")
+            for depth in (2, 4, 8):
+                dt_p, state = timed_depth(state, steps, data, depth=depth)
+                row += (f" | depth-{depth} {dt_p*1e3:7.1f} ms "
+                        f"({batch/dt_p:6.1f} img/s)")
+            print(row, flush=True)
 
 
 if __name__ == "__main__":
