@@ -1,0 +1,127 @@
+"""Adaptive tile-envelope boundary sweep (interpret mode on CPU).
+
+The round-3 sweep rewrote ``ReAttention._flash_block`` into a multi-branch
+pick table (640/512/256/128/64 tiles, padding N by up to +71%).  The shape
+parity tests elsewhere pin ``block=128``; the shipped presets only exercise
+the table at their own blessed geometries.  This sweep drives EVERY branch
+of the pick table through the actual kernels at *awkward* token counts —
+N just past a tile edge, N far below the tile, N an exact multiple — and
+checks numerical parity against the naive references, i.e. it tests the
+padding/masking logic of each tile class, not just the blessed shapes.
+
+Reference behavior being re-implemented: the re-attention train/eval step
+of /root/reference/vit_unet/torch/model.py:120-168 (semantics; the tiling
+is ours alone).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_kernels import reference_reattention
+from tests.test_kernels_train import (_bn_inputs, _random_inputs,
+                                      xla_reference, xla_reference_bn)
+from vit_unet_tpu.kernels.flash_reattention import flash_reattention
+from vit_unet_tpu.kernels.flash_reattention_train import (
+    flash_reattention_train, flash_reattention_train_bn)
+from vit_unet_tpu.nn.reattention import ReAttention
+
+
+# One case per branch of ReAttention._flash_block:
+#   (heads, dh, n, expected_block)
+ENVELOPE_CASES = [
+    (2, 256, 200, 256),    # wide head (dh>192), single-k-tile
+    (2, 256, 260, 64),     # wide head, multi-tile -> VMEM-safe 64
+    (4, 12, 513, 640),     # long fine level: padded-waste pick favours 640
+    (4, 12, 1024, 512),    # long fine level: exact 512 multiple
+    (8, 48, 520, 512),     # thin heads (dh<=48, n>=512)
+    (8, 96, 200, 256),     # mid level, single tile (n pads 200->256)
+    (4, 96, 700, 256),     # mid level, multi tile (700 pads to 768)
+    (8, 96, 320, 128),     # mid level padding worst case falls back to 128
+]
+
+
+@pytest.mark.parametrize("heads,dh,n,expected", ENVELOPE_CASES)
+def test_block_pick_table(heads, dh, n, expected):
+    mod = ReAttention(dim=heads * dh, num_heads=heads)
+    assert mod._flash_block(n) == expected
+
+
+@pytest.mark.parametrize("heads,dh,n,block", ENVELOPE_CASES)
+def test_eval_kernel_parity_at_envelope(heads, dh, n, block):
+    rng = np.random.default_rng(3)
+    batch = 1
+    q = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32) * .5
+    k = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32) * .5
+    v = jnp.asarray(rng.normal(size=(batch, heads, n, dh)), jnp.float32)
+    m = jnp.asarray(rng.normal(size=(heads, heads)), jnp.float32) * 0.3
+    c = jnp.asarray(rng.normal(size=(heads,)), jnp.float32) * 0.1
+
+    ref = reference_reattention(q, k, v, m, c)
+    v_cat = v.transpose(0, 2, 1, 3).reshape(batch, n, heads * dh)
+    w = jnp.repeat(m.T, dh, axis=1)
+    b = jnp.repeat(c, dh)
+    out = flash_reattention(q, k, v_cat, w, b, num_heads=heads,
+                            block_q=block, block_k=block, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("heads,dh,n,block", ENVELOPE_CASES)
+def test_train_kernel_parity_at_envelope(heads, dh, n, block):
+    q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh, batch=1, seed=4)
+    ref = xla_reference(q, k, v_cat, m_eff, c_eff, heads)
+    out = flash_reattention_train(q, k, v_cat, m_eff, c_eff, 0,
+                                  heads, 0.0, block, block, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_train_grads_at_640_tiles_awkward_n():
+    """The 640-tile branch (lite fine level) with N=513: one 127-row padded
+    tail tile in BOTH grid axes of the fused single-pass backward."""
+    heads, dh, n, block = 4, 12, 513, 640
+    q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh, batch=1, seed=5)
+
+    def loss_flash(q, k, v, m, c):
+        out = flash_reattention_train(q, k, v, m, c, 0,
+                                      heads, 0.0, block, block, True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v, m, c):
+        out = xla_reference(q, k, v, m, c, heads)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(
+        q, k, v_cat, m_eff, c_eff)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        q, k, v_cat, m_eff, c_eff)
+    for gf, gr in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_bn_kernel_parity_at_512_tiles_awkward_n():
+    """The exact batch-stats sweep at 512 tiles with N=520 (pads to 1024):
+    the lane-chunked l/S/C accumulators must ignore the 504 padded columns
+    and rows in the batch moments."""
+    heads, dh, n, block = 8, 48, 520, 512
+    q, k, v_cat, conv_m, conv_c, gamma, beta = _bn_inputs(
+        n, heads, dh, batch=1, seed=6)
+    ref, mu_ref, var_ref = xla_reference_bn(q, k, v_cat, conv_m, conv_c,
+                                            gamma, beta, heads)
+    out, mu, var = flash_reattention_train_bn(
+        q, k, v_cat, conv_m, conv_c, gamma, beta, 0,
+        heads, 0.0, block, block, True)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-4, atol=1e-5)
+    # atol 4e-3: measured against a float64 oracle at this shape, the f32
+    # XLA reference itself is off by up to 2.6e-3 (mean 1.8e-4) while the
+    # kernel is 5.6x closer (max 4.5e-4, identical at block 128 and 512) —
+    # the gap here is the reference's reduction noise, not the kernel's.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=4e-3)
