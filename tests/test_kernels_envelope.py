@@ -103,6 +103,43 @@ def test_train_grads_at_640_tiles_awkward_n():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_bn_grads_at_512_tiles_awkward_n():
+    """Through-the-statistics gradients at 512 tiles with a padded tail
+    (N=520 -> 1024): the backward's G-mix and the per-row S/C residual
+    slices must mask the padded rows/columns exactly like the forward.
+
+    The oracle is ``jax.grad`` of the XLA reference IN FLOAT64: at this
+    shape the f32 reference's own autodiff is catastrophically cancelled
+    for ``conv_c`` (two broadcast paths, +chat and -mu, each sum ~2e5
+    cotangent mass that must cancel to 1.0 — measured f32 result: values
+    in [-13.7, 8.6] where the true gradient is exactly 1 per head).  The
+    kernel's analytic VJP produces 1.0 to machine precision, so comparing
+    against the f32 reference would fail on the REFERENCE's noise."""
+    heads, dh, n, block = 8, 48, 520, 512
+    q, k, v_cat, conv_m, conv_c, gamma, beta = _bn_inputs(
+        n, heads, dh, batch=1, seed=8)
+
+    def loss_flash(*args):
+        out, mu, var = flash_reattention_train_bn(
+            *args, 0, heads, 0.0, block, block, True)
+        return jnp.sum(out * jnp.cos(out)) + jnp.sum(mu) + jnp.sum(var)
+
+    def loss_ref(*args):
+        out, mu, var = xla_reference_bn(*args, heads)
+        return jnp.sum(out * jnp.cos(out)) + jnp.sum(mu) + jnp.sum(var)
+
+    args = (q, k, v_cat, conv_m, conv_c, gamma, beta)
+    g_flash = jax.grad(loss_flash, argnums=tuple(range(7)))(*args)
+    with jax.enable_x64():
+        args64 = [jnp.asarray(np.asarray(a), jnp.float64) for a in args]
+        g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args64)
+    for gf, gr in zip(g_flash, g_ref):
+        gf, gr = np.asarray(gf, np.float64), np.asarray(gr)
+        scale = max(1.0, np.abs(gr).max())
+        np.testing.assert_allclose(gf / scale, gr / scale,
+                                   rtol=5e-4, atol=5e-4)
+
+
 def test_bn_kernel_parity_at_512_tiles_awkward_n():
     """The exact batch-stats sweep at 512 tiles with N=520 (pads to 1024):
     the lane-chunked l/S/C accumulators must ignore the 504 padded columns
