@@ -79,10 +79,15 @@ def test_train_kernel_parity_at_envelope(heads, dh, n, block):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_train_grads_at_640_tiles_awkward_n():
-    """The 640-tile branch (lite fine level) with N=513: one 127-row padded
-    tail tile in BOTH grid axes of the fused single-pass backward."""
-    heads, dh, n, block = 4, 12, 513, 640
+@pytest.mark.parametrize("heads,dh,n,block", [
+    (4, 12, 513, 640),     # lite-fine tile class, 127-row padded tail
+    (8, 48, 520, 512),     # thin-head 512 class, 504-row padded tail
+    (4, 96, 700, 256),     # mid 256 class, multi-tile with 68-row tail
+    (2, 256, 260, 64),     # wide-proj 64 class, multi-tile
+])
+def test_train_grads_at_envelope(heads, dh, n, block):
+    """Fused single-pass backward at every big-tile class with a padded
+    tail tile in BOTH grid axes (the preset geometries pad much less)."""
     q, k, v_cat, m_eff, c_eff = _random_inputs(n, heads, dh, batch=1, seed=5)
 
     def loss_flash(q, k, v, m, c):
