@@ -49,6 +49,45 @@ def test_block_pick_table(heads, dh, n, expected):
     assert mod._flash_block(n) == expected
 
 
+@pytest.mark.parametrize("heads,dh,n_q,n_k,expected", [
+    # sequence-parallel shapes: local query rows vs gathered tokens.
+    # padded-AREA rule: lite fine 4-way (784 local, 3136 full) pads
+    # 1024x3584 under 512 tiles vs 1280x3200 under 640 -> 512 wins
+    (4, 12, 784, 3136, 512),
+    (4, 12, 512, 4096, 512),    # nb512 fine 8-way
+    (8, 48, 196, 784, 256),     # short local rows fall to the mid class
+    (4, 12, 3136, 3136, 640),   # square case still reduces to the old rule
+])
+def test_block_pick_rectangular(heads, dh, n_q, n_k, expected):
+    from vit_unet_tpu.kernels.flash_reattention import pick_flash_block
+    assert pick_flash_block(n_q, n_k, num_heads=heads, dh=dh) == expected
+
+
+def test_sequence_parallel_flash_big_blocks():
+    """The SP per-shard flash call now rides the swept tile envelope:
+    parity vs the XLA shard body at a geometry whose pick is 512 tiles
+    (local rows 512, gathered 1024)."""
+    from vit_unet_tpu.parallel.mesh import create_mesh
+    from vit_unet_tpu.parallel.sequence import sequence_parallel_reattention
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = create_mesh(model_parallel=2, devices=jax.devices()[:2])
+    heads, dh, n = 4, 12, 1024
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(1, heads, n, dh)), jnp.float32) * .5
+    k = jnp.asarray(rng.normal(size=(1, heads, n, dh)), jnp.float32) * .5
+    v = jnp.asarray(rng.normal(size=(1, heads, n, dh)), jnp.float32)
+    m_eff = jnp.asarray(rng.normal(size=(heads, heads)), jnp.float32) * 0.3
+    c_eff = jnp.asarray(rng.normal(size=(heads,)), jnp.float32) * 0.1
+
+    ref = sequence_parallel_reattention(q, k, v, m_eff, c_eff, mesh)
+    out = sequence_parallel_reattention(q, k, v, m_eff, c_eff, mesh,
+                                        use_flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("heads,dh,n,block", ENVELOPE_CASES)
 def test_eval_kernel_parity_at_envelope(heads, dh, n, block):
     rng = np.random.default_rng(3)

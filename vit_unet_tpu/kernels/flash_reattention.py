@@ -180,6 +180,46 @@ def flash_reattention(
     return out[:, :n_q, :]
 
 
+def pick_flash_block(n_q: int, n_k: int | None = None, *,
+                     num_heads: int, dh: int) -> int:
+    """Sweep-measured kernel tile size for a (possibly rectangular)
+    re-attention call — the single source of truth behind
+    ``ReAttention._flash_block`` (square case) and the sequence-parallel
+    per-shard call (local query rows vs gathered keys: ``n_q != n_k``).
+
+    Derivation: the round-3 TPU tile sweeps (tools/tile_bench.jsonl,
+    docs/PERF.md) — 512 tiles for thin heads (dh <= 48), 512-vs-640 chosen
+    by padded-token waste at long fine levels, 256 at mid levels
+    (dh <= 96) and wide single-k-tile levels, 64 only for wide-proj
+    multi-tile grids.  Rectangular shapes generalise the waste rule to the
+    padded q x k score AREA (the kernels pad each axis to its own tile
+    multiple); for n_q == n_k it reduces exactly to the square rule.
+    """
+    n_k = n_q if n_k is None else n_k
+    dim = num_heads * dh
+    n_max = max(n_q, n_k)
+
+    def padded(n: int, b: int) -> int:
+        return -(-n // b) * b
+
+    if dh > 192:
+        return 256 if n_max <= 256 else 64
+    if (dh <= 32 and num_heads <= 4 and dim <= 256
+            and min(n_q, n_k) >= 512):
+        # long fine levels: minimise padded score area between 2x tiles
+        return min((512, 640),
+                   key=lambda b: (padded(n_q, b) * padded(n_k, b), b))
+    if dh <= 48 and num_heads <= 8 and min(n_q, n_k) >= 512:
+        return 512
+    if num_heads <= 8 and n_max > 128 and (dh <= 96 or n_max <= 256):
+        # 256 tolerates moderate extra padding (measured: N=784/dh48
+        # prefers 256's 1024-pad over 128's 896-pad) but not the
+        # short-sequence worst cases (e.g. N=320: 512-pad vs 384-pad)
+        if (-n_max % 256) - (-n_max % 128) <= n_max // 4:
+            return 256
+    return 128
+
+
 def fold_reattention_compact(conv_kernel, conv_bias, bn_scale, bn_bias,
                              bn_mean, bn_var, *, eps: float = 1e-5,
                              reatten_scale: float = 1.0):

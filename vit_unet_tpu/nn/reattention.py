@@ -300,23 +300,14 @@ class ReAttention(nn.Module):
 
         For n in (128, 256] every tile <= 256 pads N to 256, so 256 is
         free of padding waste exactly where it wins; the fine levels pick
-        between 512/640 by `-n % b`."""
-        dh = self.dim // self.num_heads
-        heads = self.num_heads
-        if dh > 192:
-            return 256 if n <= 256 else 64
-        if dh <= 32 and heads <= 4 and self.dim <= 256 and n >= 512:
-            # long fine levels: minimise padded-N waste between 2x tiles
-            return min((512, 640), key=lambda b: (-n % b, b))
-        if dh <= 48 and heads <= 8 and n >= 512:
-            return 512
-        if heads <= 8 and n > 128 and (dh <= 96 or n <= 256):
-            # 256 tolerates moderate extra padding (measured: N=784/dh48
-            # prefers 256's 1024-pad over 128's 896-pad) but not the
-            # short-sequence worst cases (e.g. N=320: 512-pad vs 384-pad)
-            if (-n % 256) - (-n % 128) <= n // 4:
-                return 256
-        return 128
+        between 512/640 by padded-score-area waste.
+
+        The pick table itself lives in
+        ``kernels.flash_reattention.pick_flash_block`` (shared with the
+        rectangular sequence-parallel call)."""
+        from vit_unet_tpu.kernels.flash_reattention import pick_flash_block
+        return pick_flash_block(n, num_heads=self.num_heads,
+                                dh=self.dim // self.num_heads)
 
     @staticmethod
     def _interpret(*arrays) -> bool:

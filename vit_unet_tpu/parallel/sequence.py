@@ -47,13 +47,19 @@ def _local_reattention(q, k, v, m_eff, c_eff, *, axis: str,
     v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
     if use_flash:
         from vit_unet_tpu.kernels.flash_reattention import (
-            expand_reattention_affine, flash_reattention)
+            expand_reattention_affine, flash_reattention, pick_flash_block)
         heads, dh = q.shape[1], q.shape[3]
         w, bias = expand_reattention_affine(m_eff, c_eff, dh=dh)
         v_cat = v_full.transpose(0, 2, 1, 3).reshape(
             v_full.shape[0], v_full.shape[2], heads * dh)
+        # rectangular tile pick: local query rows vs the gathered token
+        # axis (the same sweep-measured envelope as the single-chip call;
+        # e.g. the lite fine level sharded 4-way runs 512 tiles, not 128)
+        blk = pick_flash_block(q.shape[2], k_full.shape[2],
+                               num_heads=heads, dh=dh)
         return flash_reattention(q, k_full, v_cat, w, bias,
-                                 num_heads=heads, interpret=interpret)
+                                 num_heads=heads, block_q=blk, block_k=blk,
+                                 interpret=interpret)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k_full,
                       preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(attn, axis=-1)
