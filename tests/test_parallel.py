@@ -345,6 +345,62 @@ def test_sequence_parallel_flash_composition():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_sequence_parallel_flash_train_frozen_stats():
+    """SP TRAINING with the rectangular fused kernel (frozen-stats mode):
+    outputs AND gradients match the XLA shard body at rate 0, at a
+    geometry whose per-shard pick is 512 tiles (local rows 512, gathered
+    1024) — exercising the padded rectangular backward under shard_map."""
+    from tests.conftest import cpu_devices
+    from vit_unet_tpu.parallel.mesh import create_mesh
+    from vit_unet_tpu.parallel.sequence import (
+        sequence_parallel_reattention_train)
+
+    mesh = create_mesh(model_parallel=2, devices=cpu_devices(8)[:2])
+    b, h, n, dh = 1, 4, 1024, 12
+    ks = jax.random.split(jax.random.key(7), 9)
+    q = jax.random.normal(ks[0], (b, h, n, dh)) * 0.5
+    k = jax.random.normal(ks[1], (b, h, n, dh)) * 0.5
+    v = jax.random.normal(ks[2], (b, h, n, dh))
+    mix_kernel = jax.random.normal(ks[3], (h, h)) * 0.3
+    mix_bias = jax.random.normal(ks[4], (h,)) * 0.1
+    bn_scale = 1.0 + 0.3 * jax.random.normal(ks[5], (h,))
+    bn_bias = jax.random.normal(ks[6], (h,)) * 0.2
+    running = (jax.random.normal(ks[7], (h,)) * 0.05,
+               1.0 + 0.2 * jax.random.normal(ks[8], (h,)) ** 2)
+
+    def run(use_flash, *params):
+        out, _, _ = sequence_parallel_reattention_train(
+            q, k, v, *params, mesh, rate=0.0, running_stats=running,
+            use_flash=use_flash)
+        return out
+
+    args = (mix_kernel, mix_bias, bn_scale, bn_bias)
+    ref = run(False, *args)
+    out = run(True, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+    loss = lambda uf: lambda *p: jnp.sum(run(uf, *p) ** 2)
+    g_ref = jax.grad(loss(False), argnums=(0, 1, 2, 3))(*args)
+    g_fl = jax.grad(loss(True), argnums=(0, 1, 2, 3))(*args)
+    for gf, gr in zip(g_fl, g_ref):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(np.asarray(gf) / scale,
+                                   np.asarray(gr) / scale,
+                                   rtol=2e-4, atol=2e-4)
+    # gradients into the sharded activations (dq local, dk/dv through the
+    # all_gather transpose = reduce-scatter)
+    act = lambda uf: lambda q_, k_, v_: jnp.sum(
+        sequence_parallel_reattention_train(
+            q_, k_, v_, *args, mesh, rate=0.0, running_stats=running,
+            use_flash=uf)[0] ** 2)
+    ga_ref = jax.grad(act(False), argnums=(0, 1, 2))(q, k, v)
+    ga_fl = jax.grad(act(True), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(ga_fl, ga_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.skipif("VIT_UNET_RUN_SLOW" not in __import__("os").environ,
                     reason="N=4096 sequence-parallel training on the virtual "
                            "CPU mesh takes minutes; set VIT_UNET_RUN_SLOW=1")

@@ -102,6 +102,9 @@ def _dropout_mask(seed_ref, rate: float, bi, h, qi, ki, nq: int, nk: int,
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
                 o_ref, lse_ref, onorm_ref, m_s, l_s, acc_s, *,
                 num_heads: int, n_valid: int, block_k: int, rate: float):
+    # n_valid masks the KEY axis only (rectangular calls have fewer query
+    # rows; padded query rows produce garbage that the wrapper slices off
+    # and the backward zeroes via the zero-padded cotangent)
     bi = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
@@ -178,7 +181,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
 
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
                     m_ref, *rest,
-                    num_heads: int, n_valid: int, block_q: int, rate: float,
+                    num_heads: int, n_q_valid: int, n_k_valid: int,
+                    block_q: int, rate: float,
                     bn_corr: bool = False):
     if bn_corr:
         # batch-stats BatchNorm mode: dA gains the stats-gradient correction
@@ -206,7 +210,7 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
     row_ids = row_ids + qi * block_q
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
     col_ids = col_ids + ki * block_k
-    valid = (row_ids < n_valid) & (col_ids < n_valid)
+    valid = (row_ids < n_q_valid) & (col_ids < n_k_valid)
 
     g = g_ref[0].astype(jnp.float32)                    # (bq, proj)
     v = v_ref[0]                                        # (bk, proj)
@@ -287,20 +291,37 @@ def _pad_inputs(q, k, v_cat, block_q, block_k):
     return q, k, v_cat, n + n_pad
 
 
+def _pad_rect(q, k, v_cat, block_q, block_k):
+    """Rectangular padding: q rows to a block_q multiple, k/v tokens to a
+    block_k multiple (the sequence-parallel per-shard shape has
+    n_q = N/shards, n_k = N).  For square inputs with block_q == block_k
+    (every single-chip call) this is identical to ``_pad_inputs``."""
+    n_q, n_k = q.shape[2], k.shape[2]
+    q_pad = -n_q % block_q
+    k_pad = -n_k % block_k
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        v_cat = jnp.pad(v_cat, ((0, 0), (0, k_pad), (0, 0)))
+    return q, k, v_cat, n_q + q_pad, n_k + k_pad
+
+
 def _fwd(q, k, v_cat, m_eff, c_eff, seed, *, num_heads, rate,
          block_q, block_k, interpret):
     batch, heads, n, dh = q.shape
+    n_k = k.shape[2]
     proj = v_cat.shape[-1]
-    q, k, v_cat, np_ = _pad_inputs(q, k, v_cat, block_q, block_k)
+    q, k, v_cat, nq_pad, nk_pad = _pad_rect(q, k, v_cat, block_q, block_k)
     vsum = jnp.sum(v_cat.astype(jnp.float32), axis=1, keepdims=True)
-    grid = (batch, np_ // block_q, np_ // block_k)
-    nq = np_ // block_q
+    grid = (batch, nq_pad // block_q, nk_pad // block_k)
+    nq = nq_pad // block_q
 
     out, lse, onorm = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads, n_valid=n,
+        functools.partial(_fwd_kernel, num_heads=num_heads, n_valid=n_k,
                           block_k=block_k, rate=rate),
         out_shape=(
-            jax.ShapeDtypeStruct((batch, np_, proj), q.dtype),
+            jax.ShapeDtypeStruct((batch, nq_pad, proj), q.dtype),
             jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
             jax.ShapeDtypeStruct((batch, nq, heads, block_q, proj), q.dtype),
         ),
@@ -380,14 +401,15 @@ def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
     to the softmax-dot correction D (batch-stats BN mode); ``bn_extra``:
     optional (G (H,H), kappa (H,)) in-kernel dA correction coefficients."""
     batch, heads, n, dh = q.shape
+    n_k = k.shape[2]
     proj = v_cat.shape[-1]
 
-    q, k, v_cat, np_ = _pad_inputs(q, k, v_cat, block_q, block_k)
+    q, k, v_cat, nq_pad, nk_pad = _pad_rect(q, k, v_cat, block_q, block_k)
     # g stays in its cotangent dtype (bf16 on the bench path): the kernel
     # upcasts the VMEM block, halving the HBM read that the dkv pass repeats
     # nk times
-    g = jnp.pad(g, ((0, 0), (0, np_ - n), (0, 0)))
-    nq, nk = np_ // block_q, np_ // block_k
+    g = jnp.pad(g, ((0, 0), (0, nq_pad - n), (0, 0)))
+    nq, nk = nq_pad // block_q, nk_pad // block_k
     seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
     m32 = m_eff.astype(jnp.float32)
 
@@ -425,12 +447,13 @@ def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
         extra_args = [g_mat.astype(jnp.float32),
                       kappa.reshape(num_heads, 1).astype(jnp.float32)]
     dk, dv, dq_part = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, num_heads=num_heads, n_valid=n,
+        functools.partial(_bwd_dkv_kernel, num_heads=num_heads,
+                          n_q_valid=n, n_k_valid=n_k,
                           block_q=block_q, rate=rate,
                           bn_corr=bn_extra is not None),
         out_shape=(
             jax.ShapeDtypeStruct((batch, nk, heads, block_k, dh), jnp.float32),
-            jax.ShapeDtypeStruct((batch, np_, proj), jnp.float32),
+            jax.ShapeDtypeStruct((batch, nk_pad, proj), jnp.float32),
             jax.ShapeDtypeStruct((batch, nk, nq, heads, block_q, dh), q.dtype),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -457,10 +480,12 @@ def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed_arr, q, k, v_cat, g, lse_blocked, d_arr, m32, *extra_args)
-    dk = dk.transpose(0, 2, 1, 3, 4).reshape(batch, heads, np_, dh)[:, :, :n]
-    dv = dv[:, :n, :]
+    dk = dk.transpose(0, 2, 1, 3, 4).reshape(
+        batch, heads, nk_pad, dh)[:, :, :n_k]
+    dv = dv[:, :n_k, :]
     dq = jnp.sum(dq_part.astype(jnp.float32), axis=1)    # (B, nq, H, bq, dh)
-    dq = dq.transpose(0, 2, 1, 3, 4).reshape(batch, heads, np_, dh)[:, :, :n]
+    dq = dq.transpose(0, 2, 1, 3, 4).reshape(
+        batch, heads, nq_pad, dh)[:, :, :n]
     return dq, dk, dv, dm_eff
 
 
@@ -470,10 +495,13 @@ def flash_reattention_train(q, k, v_cat, m_eff, c_eff, seed,
                             interpret=False):
     """Training-path fused re-attention with dropout + custom VJP.
 
-    q, k: (B, H, N, dh), q pre-scaled; v_cat: (B, N, H*dh);
+    q: (B, H, N_q, dh), pre-scaled; k: (B, H, N_k, dh);
+    v_cat: (B, N_k, H*dh).  Rectangular shapes (N_q != N_k) are the
+    sequence-parallel per-shard geometry: local query rows against the
+    all-gathered keys/values (parallel/sequence.py).
     m_eff: (H, H) head-mix affine (``fold_reattention_compact``);
     c_eff: (H,) bias; seed: int32 scalar for the in-kernel dropout PRNG.
-    Returns (B, N, H*dh).
+    Returns (B, N_q, H*dh).
     """
     out, _, _, _ = _fwd(q, k, v_cat, m_eff, c_eff, seed, num_heads=num_heads,
                         rate=rate, block_q=block_q, block_k=block_k,
@@ -770,7 +798,16 @@ def flash_reattention_train_bn(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
     bias; gamma/beta: (H,) BN affine.  Returns (out (B, N, H·dh), μ (H,),
     σ² (H,)) — μ/σ² are the batch moments for the caller's running-average
     update (flax BatchNorm convention: biased variance).
+
+    Square-only (N_q == N_k): with batch statistics the moments/gradients
+    assume one token axis.  The sequence-parallel exact-BN path therefore
+    stays on the XLA shard body; rectangular flash covers the frozen-stats
+    mode (``flash_reattention_train``).
     """
+    if q.shape[2] != k.shape[2]:
+        raise ValueError("flash_reattention_train_bn is square-only "
+                         f"(n_q={q.shape[2]} != n_k={k.shape[2]}); use "
+                         "flash_reattention_train for rectangular shapes")
     out, mu, var, _ = _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta,
                                  seed, num_heads, rate, block_q, block_k,
                                  interpret, eps, reatten_scale)

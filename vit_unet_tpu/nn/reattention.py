@@ -439,11 +439,17 @@ class ReAttention(nn.Module):
             sequence_parallel_reattention, sequence_parallel_reattention_train)
 
         q = (q * self.scale).astype(self.dtype)
+        # per-shard flash: the kernel envelope gates it exactly as on one
+        # chip; local query rows below one tile keep the XLA shard body
+        # (same token floor as _flash_ok_for)
+        n_local = q.shape[2] // mesh.shape[self.sp_axis]
+        flash_ok = self._flash_ok and n_local >= 128
         if deterministic and use_running_average:
             m_eff, c_eff = self._folded_compact()
             return sequence_parallel_reattention(
                 q, k.astype(self.dtype), v.astype(self.dtype), m_eff, c_eff,
-                mesh, axis=self.sp_axis, data_axis=self.sp_data_axis)
+                mesh, axis=self.sp_axis, data_axis=self.sp_data_axis,
+                use_flash=self.use_flash and flash_ok)
 
         cp = self.reatten_matrix.variables["params"]
         bp = self.var_norm.variables["params"]
@@ -460,7 +466,10 @@ class ReAttention(nn.Module):
             bp["scale"], bp["bias"], mesh, dropout_rng=rng, rate=rate,
             axis=self.sp_axis, data_axis=self.sp_data_axis, eps=self.bn_eps,
             reatten_scale=self.scale if self.transform_scale else 1.0,
-            running_stats=running)
+            running_stats=running,
+            # frozen-stats mode only (running is not None): batch-stats SP
+            # keeps the XLA shard body — see sequence.py
+            use_flash=self.flash_train and flash_ok)
         if not use_running_average:
             # Update var_norm's running averages through the normal flax
             # machinery: a 2-point tensor per feature with batch statistics

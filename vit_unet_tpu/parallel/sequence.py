@@ -119,7 +119,9 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
                              batch_axis: Optional[str], rate: float,
                              eps: float, reatten_scale: float,
                              use_batch_stats: bool,
-                             n_global: int, b_global: int):
+                             n_global: int, b_global: int,
+                             use_flash: bool = False,
+                             interpret: bool = False):
     """Training-mode per-shard body: softmax -> attention dropout ->
     1x1 head-mix conv -> BatchNorm with *batch* statistics psum'd across
     every shard of the (batch, token-row) plane -> @V.
@@ -128,9 +130,41 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
     with use_running_average=False) up to the dropout random stream.
     Returns (out, batch_mean, batch_var) — the stats let the caller update
     the BN running averages exactly.
+
+    ``use_flash`` (frozen-stats mode only): the rectangular fused train
+    kernel per shard — local query rows vs the gathered K/V, custom VJP,
+    in-kernel dropout — so no (n_local, N) map or mask ever reaches HBM.
+    Batch-stats mode keeps the XLA body (its moments/through-the-statistics
+    gradients need cross-shard psums the square-only bn kernel doesn't do).
     """
     k_full = jax.lax.all_gather(k, axis, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
+    if use_flash and not use_batch_stats:
+        from vit_unet_tpu.kernels.flash_reattention import (
+            fold_reattention_compact, pick_flash_block)
+        from vit_unet_tpu.kernels.flash_reattention_train import (
+            flash_reattention_train)
+
+        heads, dh = q.shape[1], q.shape[3]
+        m_eff, c_eff = fold_reattention_compact(
+            mix_kernel.T, mix_bias, bn_scale, bn_bias, rm, rv,
+            eps=eps, reatten_scale=reatten_scale)
+        v_cat = v_full.transpose(0, 2, 1, 3).reshape(
+            v_full.shape[0], v_full.shape[2], heads * dh)
+        # distinct in-kernel dropout stream per (sequence, data) shard: the
+        # kernel folds (batch, head, q-tile, k-tile) into the seed itself,
+        # and those indices are *local* — identical across shards — so the
+        # shard index must stride past the whole local index space
+        kseed = jax.lax.convert_element_type(seed.reshape(-1)[-1], jnp.int32)
+        idx = jax.lax.axis_index(axis)
+        if batch_axis is not None:
+            idx = idx + jax.lax.axis_size(axis) * jax.lax.axis_index(batch_axis)
+        kseed = kseed + idx * (1 << 20)
+        blk = pick_flash_block(q.shape[2], k_full.shape[2],
+                               num_heads=heads, dh=dh)
+        out = flash_reattention_train(q, k_full, v_cat, m_eff, c_eff, kseed,
+                                      heads, rate, blk, blk, interpret)
+        return out, rm.astype(jnp.float32), rv.astype(jnp.float32)
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k_full,
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
@@ -188,6 +222,8 @@ def sequence_parallel_reattention_train(
     reatten_scale: float = 1.0,
     running_stats: Optional[tuple] = None,  # (mean, var): normalise with
                                             # these instead of batch stats
+    use_flash: bool = False,
+    interpret: Optional[bool] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Training-mode sequence-parallel re-attention.
 
@@ -196,6 +232,10 @@ def sequence_parallel_reattention_train(
     statistics (``running_stats=None``) the stats are replicated and exactly
     equal the unsharded BatchNorm's, so the caller can apply the
     running-average update.
+
+    ``use_flash`` runs the fused rectangular train kernel per shard in the
+    frozen-stats mode (``running_stats`` given); batch-stats mode ignores it
+    (see ``_local_reattention_train``).
     """
     b, _, n, _ = q.shape
     size = mesh.shape[axis]
@@ -212,13 +252,19 @@ def sequence_parallel_reattention_train(
     heads = mix_bias.shape[0]
     rm, rv = (running_stats if running_stats is not None
               else (jnp.zeros((heads,)), jnp.ones((heads,))))
+    if interpret is None:
+        interpret = mesh.devices.reshape(-1)[0].platform != "tpu"
     fn = jax.shard_map(
         partial(_local_reattention_train, axis=axis, batch_axis=ba,
                 rate=rate, eps=eps, reatten_scale=reatten_scale,
-                use_batch_stats=use_batch_stats, n_global=n, b_global=b),
+                use_batch_stats=use_batch_stats, n_global=n, b_global=b,
+                use_flash=use_flash, interpret=interpret),
         mesh=mesh,
         in_specs=(tok, tok, tok, P(None, None), P(None), P(None), P(None),
                   P(None), P(None), P(None)),
         out_specs=(P(ba, axis, None), P(None), P(None)),
+        # pallas_call (use_flash) doesn't annotate varying-mesh-axes
+        # metadata on its outputs; the specs above already pin the sharding
+        check_vma=False,
     )
     return fn(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias, rm, rv, seed)
