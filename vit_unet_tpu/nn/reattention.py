@@ -455,7 +455,11 @@ class ReAttention(nn.Module):
         bp = self.var_norm.variables["params"]
         rate = 0.0 if deterministic else float(self.attn_drop)
         rng = self.make_rng("dropout") if rate > 0.0 else None
-        if use_running_average:
+        # flash_frozen_bn: the documented fast training mode freezes the BN
+        # statistics exactly as on one chip (_attend_flash_train)
+        frozen_fast = (self.flash_train and self.flash_frozen_bn and flash_ok
+                       and not use_running_average)
+        if use_running_average or frozen_fast:
             bs = self.var_norm.variables["batch_stats"]
             running = (bs["mean"], bs["var"])
         else:
@@ -470,7 +474,7 @@ class ReAttention(nn.Module):
             # frozen-stats mode only (running is not None): batch-stats SP
             # keeps the XLA shard body — see sequence.py
             use_flash=self.flash_train and flash_ok)
-        if not use_running_average:
+        if not use_running_average and not frozen_fast:
             # Update var_norm's running averages through the normal flax
             # machinery: a 2-point tensor per feature with batch statistics
             # exactly (mean, var) — BatchNorm's EMA update then matches the
