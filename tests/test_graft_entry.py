@@ -152,6 +152,6 @@ print("WEDGED_DRYRUN_OK")
     proc = subprocess.run(
         [sys.executable, "-c", script],
         cwd=REPO, env=_driver_env(8), capture_output=True, text=True,
-        timeout=300)
+        timeout=560)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "WEDGED_DRYRUN_OK" in proc.stdout

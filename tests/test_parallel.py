@@ -365,6 +365,37 @@ class TestIntegratedSPFlash:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-6)
 
+    def test_exact_bn_train_parity_sharded_vs_unsharded(self):
+        """flash_train WITHOUT flash_frozen_bn: exact batch-stats BN on the
+        fused kernels, sharded vs unsharded — outputs and the BN running-
+        average updates both match."""
+        from tests.conftest import cpu_devices
+        mesh = create_mesh(model_parallel=2, devices=cpu_devices(8))
+        flags = dict(use_flash=True, flash_train=True)
+        m_one = ViTUNet(ViTUNetConfig(**self.CFG, **flags))
+        m_sp = ViTUNet(ViTUNetConfig(**self.CFG, **flags,
+                                     sequence_parallel=True,
+                                     sp_min_tokens=16), mesh=mesh)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(4, 3, 64, 64)).astype(np.float32))
+        v = jax.jit(m_one.init)(jax.random.key(0), x[:1])
+
+        def train_apply(m):
+            return m.apply(v, x, deterministic=False,
+                           use_running_average=False,
+                           rngs={"dropout": jax.random.key(1)},
+                           mutable=["batch_stats"])
+        y_one, upd_one = train_apply(m_one)
+        y_sp, upd_sp = jax.jit(lambda: train_apply(m_sp))()
+        # fresh-init batch-stats BN amplifies reduction noise (see the XLA
+        # SP parity test above, same 2e-2 bound)
+        np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_one),
+                                   rtol=2e-2, atol=2e-2)
+        for a, b in zip(jax.tree.leaves(upd_one["batch_stats"]),
+                        jax.tree.leaves(upd_sp["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5)
+
     def test_eval_parity_flash_sp_vs_unsharded(self):
         mesh, m_one, m_sp = self._flash_models()
         rng = np.random.default_rng(6)
@@ -456,6 +487,69 @@ def test_sequence_parallel_flash_train_frozen_stats():
     for gf, gr in zip(ga_fl, ga_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("with_data_axis", [False, True])
+def test_sequence_parallel_flash_train_exact_bn(with_data_axis):
+    """SP TRAINING with EXACT batch-stats BN on the fused kernels: outputs,
+    batch moments, and ALL gradients (including the through-the-statistics
+    terms and a loss on μ/σ² itself) match the UNSHARDED bn kernel — the
+    psum_axes plumbing and the shard_map replicated-output-cotangent
+    convention are both pinned here."""
+    from tests.conftest import cpu_devices
+    from vit_unet_tpu.kernels.flash_reattention_train import (
+        flash_reattention_train_bn)
+    from vit_unet_tpu.parallel.mesh import create_mesh
+    from vit_unet_tpu.parallel.sequence import (
+        sequence_parallel_reattention_train)
+
+    if with_data_axis:
+        mesh = create_mesh(model_parallel=2, devices=cpu_devices(8)[:4])
+        data_axis = "data"
+    else:
+        mesh = create_mesh(model_parallel=2, devices=cpu_devices(8)[:2])
+        data_axis = None
+    b, h, n, dh = 2, 4, 256, 8
+    ks = jax.random.split(jax.random.key(7), 7)
+    mk = lambda i, s, *shape: jax.random.normal(ks[i], shape) * s
+    q, k, v = mk(0, 1.5, b, h, n, dh), mk(1, 1.5, b, h, n, dh), \
+        mk(2, 1, b, h, n, dh)
+    params = (mk(3, .3, h, h), mk(4, .1, h), 1.0 + mk(5, .3, h),
+              mk(6, .2, h))
+
+    def run_sp(q_, k_, v_, *p):
+        return sequence_parallel_reattention_train(
+            q_, k_, v_, *p, mesh, rate=0.0, running_stats=None,
+            use_flash=True, data_axis=data_axis)
+
+    def run_one(q_, k_, v_, *p):
+        vc = v_.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+        return flash_reattention_train_bn(q_, k_, vc, p[0].T, p[1], p[2],
+                                          p[3], 0, h, 0.0, 128, 128, True)
+
+    o_sp, mu_sp, var_sp = run_sp(q, k, v, *params)
+    o_one, mu_one, var_one = run_one(q, k, v, *params)
+    np.testing.assert_allclose(np.asarray(mu_sp), np.asarray(mu_one),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var_sp), np.asarray(var_one),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(o_sp), np.asarray(o_one),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(runner):
+        def f(*a):
+            o, mu, var = runner(*a)
+            return jnp.sum(o * jnp.cos(o)) + jnp.sum(mu) + jnp.sum(var)
+        return f
+
+    g_sp = jax.grad(loss(run_sp), argnums=tuple(range(7)))(q, k, v, *params)
+    g_one = jax.grad(loss(run_one), argnums=tuple(range(7)))(q, k, v,
+                                                             *params)
+    for gs, go in zip(g_sp, g_one):
+        gs, go = np.asarray(gs, np.float64), np.asarray(go, np.float64)
+        scale = max(1.0, np.abs(go).max())
+        np.testing.assert_allclose(gs / scale, go / scale,
+                                   rtol=5e-5, atol=5e-5)
 
 
 @pytest.mark.skipif("VIT_UNET_RUN_SLOW" not in __import__("os").environ,

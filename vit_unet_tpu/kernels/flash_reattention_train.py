@@ -575,7 +575,8 @@ flash_reattention_train.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _bn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, s_ref, c_ref, lse_ref,
                    onorm_ref, m_s, l_s, ps_s, cc_s, acc_s, *,
-                   num_heads: int, n_valid: int, block_k: int, rate: float):
+                   num_heads: int, n_q_valid: int, n_k_valid: int,
+                   block_k: int, rate: float):
     """ONE sweep for the batch-stats mode: per-head PV accumulators (o_norm)
     + LSE + the per-row S/C probability sums the BN moments need.  The
     m_eff/c_eff head-mix is NOT applied here — with batch statistics it is
@@ -598,7 +599,7 @@ def _bn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, s_ref, c_ref, lse_ref,
     block_q = q_ref.shape[2]
     k_start = ki * block_k
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
-    key_mask = col_ids < n_valid
+    key_mask = col_ids < n_k_valid
 
     v = v_ref[0]                                        # (block_k, proj)
     alphas = []
@@ -647,7 +648,7 @@ def _bn_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, s_ref, c_ref, lse_ref,
     def _epilogue():
         row_ids = jax.lax.broadcasted_iota(
             jnp.int32, (block_q, 1), 0) + qi * block_q
-        row_valid = row_ids < n_valid                    # (bq, 1)
+        row_valid = row_ids < n_q_valid                  # (bq, 1)
         linvs = []
         s_rows = []
         lse_rows = []
@@ -681,12 +682,14 @@ def _bn_fwd(q, k, v_cat, seed, *, num_heads, rate, block_q, block_k,
             interpret):
     """One-sweep batch-stats forward: (S, C, lse, o_norm, vsum), blocked."""
     batch, heads, n, dh = q.shape
+    n_k = k.shape[2]
     proj = v_cat.shape[-1]
-    q, k, v_cat, np_ = _pad_inputs(q, k, v_cat, block_q, block_k)
+    q, k, v_cat, nq_pad, nk_pad = _pad_rect(q, k, v_cat, block_q, block_k)
     vsum = jnp.sum(v_cat.astype(jnp.float32), axis=1)    # (B, proj)
-    nq, nk = np_ // block_q, np_ // block_k
+    nq, nk = nq_pad // block_q, nk_pad // block_k
     s_rows, c_rows, lse, onorm = pl.pallas_call(
-        functools.partial(_bn_fwd_kernel, num_heads=num_heads, n_valid=n,
+        functools.partial(_bn_fwd_kernel, num_heads=num_heads,
+                          n_q_valid=n, n_k_valid=n_k,
                           block_k=block_k, rate=rate),
         out_shape=(
             jax.ShapeDtypeStruct((batch, nq, heads, block_q), jnp.float32),
@@ -735,16 +738,23 @@ def _bn_fwd(q, k, v_cat, seed, *, num_heads, rate, block_q, block_k,
     return s_rows, c_rows, lse, onorm, vsum
 
 
-def _bn_moments(s_rows, c_rows, conv_m, conv_c, n, batch):
+def _psum_maybe(x, axes):
+    return jax.lax.psum(x, axes) if axes else x
+
+
+def _bn_moments(s_rows, c_rows, conv_m, conv_c, cnt, psum_axes=None):
     """(μ, σ², ΣS, ΣC) of ĉ = Σ_h2 W[·,h2]·A_h2 + cb over (B, N, M).
 
     Moments are taken about cb (``ĉ − cb = W·A`` exactly): the naive
     E[ĉ²] − μ² cancels catastrophically in f32 because μ ≈ cb dominates the
     deviation, costing ~3 digits of variance; centred, E[(W·A)²] and
-    (μ − cb)² are the same scale as the variance itself."""
-    cnt = batch * n * n
-    ssum = jnp.sum(s_rows, axis=(0, 1, 3))               # (H,)
-    csum = jnp.sum(c_rows, axis=(0, 1, 4))               # (H2, H3)
+    (μ − cb)² are the same scale as the variance itself.
+
+    ``psum_axes`` (inside shard_map): the row sums are per-shard partials —
+    psum them so the moments are the GLOBAL batch's, exactly as the
+    unsharded computation (``cnt`` is then the global element count)."""
+    ssum = _psum_maybe(jnp.sum(s_rows, axis=(0, 1, 3)), psum_axes)  # (H,)
+    csum = _psum_maybe(jnp.sum(c_rows, axis=(0, 1, 4)), psum_axes)  # (H2, H3)
     w = conv_m.astype(jnp.float32)
     cb = conv_c.astype(jnp.float32)
     dev = (w @ ssum) / cnt                               # μ − cb  (H,)
@@ -755,11 +765,13 @@ def _bn_moments(s_rows, c_rows, conv_m, conv_c, n, batch):
 
 def _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
                num_heads, rate, block_q, block_k, interpret,
-               eps, reatten_scale):
+               eps, reatten_scale, psum_axes=None, cnt=None):
     from vit_unet_tpu.kernels.flash_reattention import fold_reattention_compact
 
     batch, heads, n, dh = q.shape
     proj = v_cat.shape[-1]
+    if cnt is None:
+        cnt = batch * n * k.shape[2]
     # ONE kernel sweep produces the PV accumulators (o_norm), LSE, and the
     # per-row S/C sums; the batch-stat affine is only known after the global
     # moment reduction, so the head-mix runs as an XLA epilogue over o_norm
@@ -768,7 +780,8 @@ def _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
     s_rows, c_rows, lse, onorm, vsum = _bn_fwd(
         q, k, v_cat, seed, num_heads=num_heads, rate=rate,
         block_q=block_q, block_k=block_k, interpret=interpret)
-    mu, var, _, _ = _bn_moments(s_rows, c_rows, conv_m, conv_c, n, batch)
+    mu, var, _, _ = _bn_moments(s_rows, c_rows, conv_m, conv_c, cnt,
+                                psum_axes)
     m_eff, c_eff = fold_reattention_compact(
         conv_m, conv_c, gamma, beta, mu, var, eps=eps,
         reatten_scale=reatten_scale)
@@ -788,38 +801,41 @@ def _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
     return out, mu, var, (s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16))
 def flash_reattention_train_bn(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
                                num_heads, rate=0.0, block_q=128, block_k=128,
-                               interpret=False, eps=1e-5, reatten_scale=1.0):
+                               interpret=False, eps=1e-5, reatten_scale=1.0,
+                               psum_axes=None, cnt=None):
     """Fused re-attention training step with EXACT batch-stats BatchNorm.
 
     conv_m: (H, H) head-mix conv matrix [h_out, h_in]; conv_c: (H,) conv
-    bias; gamma/beta: (H,) BN affine.  Returns (out (B, N, H·dh), μ (H,),
+    bias; gamma/beta: (H,) BN affine.  Returns (out (B, N_q, H·dh), μ (H,),
     σ² (H,)) — μ/σ² are the batch moments for the caller's running-average
     update (flax BatchNorm convention: biased variance).
 
-    Square-only (N_q == N_k): with batch statistics the moments/gradients
-    assume one token axis.  The sequence-parallel exact-BN path therefore
-    stays on the XLA shard body; rectangular flash covers the frozen-stats
-    mode (``flash_reattention_train``).
+    Sequence-parallel use (inside shard_map, rectangular q vs gathered
+    K/V): pass ``psum_axes`` (the mesh axes the (batch, row) plane is
+    sharded over) and ``cnt`` (the GLOBAL b·n_rows·n_cols element count) —
+    the moments and every through-the-statistics gradient term are then
+    psum'd to the exact global values, and the returned parameter
+    cotangents are pre-divided by the shard count so shard_map's boundary
+    psum (the transpose of the replicated in_spec) restores them.
     """
-    if q.shape[2] != k.shape[2]:
-        raise ValueError("flash_reattention_train_bn is square-only "
-                         f"(n_q={q.shape[2]} != n_k={k.shape[2]}); use "
-                         "flash_reattention_train for rectangular shapes")
     out, mu, var, _ = _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta,
                                  seed, num_heads, rate, block_q, block_k,
-                                 interpret, eps, reatten_scale)
+                                 interpret, eps, reatten_scale,
+                                 psum_axes, cnt)
     return out, mu, var
 
 
 def _bn_vjp_fwd(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
                 num_heads, rate, block_q, block_k, interpret, eps,
-                reatten_scale):
+                reatten_scale, psum_axes, cnt):
     out, mu, var, aux = _bn_primal(q, k, v_cat, conv_m, conv_c, gamma, beta,
                                    seed, num_heads, rate, block_q, block_k,
-                                   interpret, eps, reatten_scale)
+                                   interpret, eps, reatten_scale,
+                                   psum_axes, cnt)
     s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff = aux
     return (out, mu, var), (q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
                             s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff,
@@ -827,26 +843,38 @@ def _bn_vjp_fwd(q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
 
 
 def _bn_vjp_bwd(num_heads, rate, block_q, block_k, interpret, eps,
-                reatten_scale, res, cots):
+                reatten_scale, psum_axes, cnt, res, cots):
     from vit_unet_tpu.kernels.flash_reattention import fold_reattention_compact
 
     (q, k, v_cat, conv_m, conv_c, gamma, beta, seed,
      s_rows, c_rows, lse, vsum, onorm, m_eff, c_eff, mu, var) = res
     g, g_mu, g_var = cots
     batch, heads, n, dh = q.shape
-    cnt = batch * n * n
+    if cnt is None:
+        cnt = batch * n * k.shape[2]
+    # the boundary psum of shard_map's replicated in_specs will re-sum the
+    # parameter cotangents across shards; everything below computes the
+    # GLOBAL value on every shard, so pre-divide by the shard count.
+    # Conversely, shard_map hands each shard the cotangent of a replicated
+    # OUTPUT (μ, σ², out_spec P(None)) divided by the shard count — scale
+    # g_mu/g_var back to the full value before they enter the global
+    # formulas (pinned by tests vs the unsharded kernel).
+    shards = jax.lax.psum(1.0, psum_axes) if psum_axes else 1.0
+    g_mu = g_mu.astype(jnp.float32) * shards
+    g_var = g_var.astype(jnp.float32) * shards
     w32 = conv_m.astype(jnp.float32)
     cb32 = conv_c.astype(jnp.float32)
 
     # --- fixed-stats cotangents (affine part) --------------------------------
-    np_ = n + (-n % math.lcm(block_q, block_k))
-    nq = np_ // block_q
-    gp = jnp.pad(g, ((0, 0), (0, np_ - n), (0, 0)))      # storage dtype
+    nq_pad = n + (-n % block_q)
+    nq = nq_pad // block_q
+    gp = jnp.pad(g, ((0, 0), (0, nq_pad - n), (0, 0)))   # storage dtype
     r = _r_blocked(onorm, gp, batch, nq, block_q, heads, dh)
-    dm_eff = jnp.einsum("bqhxp->ph", r)                  # (Hp, H2)
+    dm_eff = _psum_maybe(jnp.einsum("bqhxp->ph", r), psum_axes)  # (Hp, H2)
     gsum = jnp.sum(g.astype(jnp.float32), axis=1)        # (B, proj)
-    dc_eff = jnp.sum((gsum * vsum.astype(jnp.float32)).reshape(
-        batch, heads, dh), axis=(0, 2))                  # (H,)
+    dc_eff = _psum_maybe(
+        jnp.sum((gsum * vsum.astype(jnp.float32)).reshape(
+            batch, heads, dh), axis=(0, 2)), psum_axes)  # (H,)
 
     # --- cotangents into (W, cb, γ, β, μ, σ²) through the fold ---------------
     fold = lambda cm, cc, ga, be, m_, v_: fold_reattention_compact(
@@ -878,8 +906,8 @@ def _bn_vjp_bwd(num_heads, rate, block_q, block_k, interpret, eps,
     dv = dv + (c_rep[None, :] * gsum)[:, None, :]
 
     # --- direct ∂(μ, σ²)/∂(W, cb) terms --------------------------------------
-    ssum = jnp.sum(s_rows, axis=(0, 1, 3))               # (H,)
-    csum = jnp.sum(c_rows, axis=(0, 1, 4))               # (H2, H3)
+    ssum = _psum_maybe(jnp.sum(s_rows, axis=(0, 1, 3)), psum_axes)  # (H,)
+    csum = _psum_maybe(jnp.sum(c_rows, axis=(0, 1, 4)), psum_axes)  # (H2,H3)
     #   ∂μ_h/∂W[h,h2] = ΣS_h2/cnt
     #   ∂σ²_h/∂W[h,h2] = 2(Σ_h3 W[h,h3]·ΣC_h3h2 + cb_h·ΣS_h2 − μ_h·ΣS_h2)/cnt
     d_cm = d_cm.astype(jnp.float32) + (
@@ -896,8 +924,10 @@ def _bn_vjp_bwd(num_heads, rate, block_q, block_k, interpret, eps,
     d_cc = g_mu.astype(jnp.float32)
 
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v_cat.dtype),
-            d_cm.astype(conv_m.dtype), d_cc.astype(conv_c.dtype),
-            d_ga.astype(gamma.dtype), d_be.astype(beta.dtype), None)
+            (d_cm / shards).astype(conv_m.dtype),
+            (d_cc / shards).astype(conv_c.dtype),
+            (d_ga / shards).astype(gamma.dtype),
+            (d_be / shards).astype(beta.dtype), None)
 
 
 flash_reattention_train_bn.defvjp(_bn_vjp_fwd, _bn_vjp_bwd)

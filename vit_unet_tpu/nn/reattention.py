@@ -471,8 +471,8 @@ class ReAttention(nn.Module):
             axis=self.sp_axis, data_axis=self.sp_data_axis, eps=self.bn_eps,
             reatten_scale=self.scale if self.transform_scale else 1.0,
             running_stats=running,
-            # frozen-stats mode only (running is not None): batch-stats SP
-            # keeps the XLA shard body — see sequence.py
+            # frozen mode folds the running stats; batch-stats mode runs
+            # the bn kernel with cross-shard psum'd moments — see sequence.py
             use_flash=self.flash_train and flash_ok)
         if not use_running_average and not frozen_fast:
             # Update var_norm's running averages through the normal flax

@@ -131,24 +131,22 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
     Returns (out, batch_mean, batch_var) — the stats let the caller update
     the BN running averages exactly.
 
-    ``use_flash`` (frozen-stats mode only): the rectangular fused train
-    kernel per shard — local query rows vs the gathered K/V, custom VJP,
-    in-kernel dropout — so no (n_local, N) map or mask ever reaches HBM.
-    Batch-stats mode keeps the XLA body (its moments/through-the-statistics
-    gradients need cross-shard psums the square-only bn kernel doesn't do).
+    ``use_flash``: the rectangular fused train kernels per shard — local
+    query rows vs the gathered K/V, custom VJP, in-kernel dropout — so no
+    (n_local, N) map or mask ever reaches HBM.  Frozen-stats mode folds the
+    running stats into the affine; batch-stats mode runs the bn kernel with
+    ``psum_axes`` so the moments and through-the-statistics gradients are
+    the exact global values.
     """
     k_full = jax.lax.all_gather(k, axis, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis, axis=2, tiled=True)
-    if use_flash and not use_batch_stats:
+    if use_flash:
         from vit_unet_tpu.kernels.flash_reattention import (
             fold_reattention_compact, pick_flash_block)
         from vit_unet_tpu.kernels.flash_reattention_train import (
-            flash_reattention_train)
+            flash_reattention_train, flash_reattention_train_bn)
 
         heads, dh = q.shape[1], q.shape[3]
-        m_eff, c_eff = fold_reattention_compact(
-            mix_kernel.T, mix_bias, bn_scale, bn_bias, rm, rv,
-            eps=eps, reatten_scale=reatten_scale)
         v_cat = v_full.transpose(0, 2, 1, 3).reshape(
             v_full.shape[0], v_full.shape[2], heads * dh)
         # distinct in-kernel dropout stream per (sequence, data) shard: the
@@ -162,9 +160,24 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
         kseed = kseed + idx * (1 << 20)
         blk = pick_flash_block(q.shape[2], k_full.shape[2],
                                num_heads=heads, dh=dh)
-        out = flash_reattention_train(q, k_full, v_cat, m_eff, c_eff, kseed,
-                                      heads, rate, blk, blk, interpret)
-        return out, rm.astype(jnp.float32), rv.astype(jnp.float32)
+        if not use_batch_stats:
+            m_eff, c_eff = fold_reattention_compact(
+                mix_kernel.T, mix_bias, bn_scale, bn_bias, rm, rv,
+                eps=eps, reatten_scale=reatten_scale)
+            out = flash_reattention_train(q, k_full, v_cat, m_eff, c_eff,
+                                          kseed, heads, rate, blk, blk,
+                                          interpret)
+            return out, rm.astype(jnp.float32), rv.astype(jnp.float32)
+        # EXACT batch-stats mode: the bn kernel's moments and
+        # through-the-statistics gradient terms psum across every shard of
+        # the (batch, row) plane, so out/μ/σ²/grads equal the unsharded
+        # kernel's exactly (cnt = the GLOBAL element count)
+        axes = (axis,) if batch_axis is None else (axis, batch_axis)
+        out, mean, var = flash_reattention_train_bn(
+            q, k_full, v_cat, mix_kernel.T, mix_bias, bn_scale, bn_bias,
+            kseed, heads, rate, blk, blk, interpret, eps, reatten_scale,
+            axes, b_global * n_global * n_global)
+        return out, mean, var
     s = jnp.einsum("bhnd,bhmd->bhnm", q, k_full,
                    preferred_element_type=jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
@@ -233,9 +246,10 @@ def sequence_parallel_reattention_train(
     equal the unsharded BatchNorm's, so the caller can apply the
     running-average update.
 
-    ``use_flash`` runs the fused rectangular train kernel per shard in the
-    frozen-stats mode (``running_stats`` given); batch-stats mode ignores it
-    (see ``_local_reattention_train``).
+    ``use_flash`` runs the fused rectangular train kernels per shard —
+    the frozen-stats kernel when ``running_stats`` is given, the exact
+    batch-stats bn kernel (cross-shard psum'd moments and gradients)
+    otherwise.
     """
     b, _, n, _ = q.shape
     size = mesh.shape[axis]
