@@ -26,8 +26,10 @@ MXU-friendly matmuls over the full projection dim instead of a thin per-head
 d_h) and the head-mix collapses to an elementwise multiply-add epilogue —
 no lane-unaligned head slicing inside the kernel.
 
-Used for deterministic (eval/serving) paths; training falls back to XLA
-(BatchNorm batch statistics + attention dropout need the materialised map).
+Used for deterministic (eval/serving) paths, including rectangular
+sequence-parallel shards (n_q != n_k); training runs the sibling kernels in
+``flash_reattention_train.py`` (custom VJPs, in-kernel dropout, frozen or
+exact batch-stats BatchNorm — no materialised map there either).
 Numerical equivalence vs the XLA path is tested in tests/test_kernels.py.
 """
 from __future__ import annotations
