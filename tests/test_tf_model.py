@@ -85,3 +85,67 @@ def test_tf_model_flash_variant_runs():
     out_fl = m.apply(v, x)
     np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_keras_mha_flash_parity_self_and_cross():
+    """KerasMHA(use_flash=True): identity-affine flash kernel == the XLA
+    einsum path, for self-attention and for the rectangular skip-connection
+    cross-attention shape (query rows != key rows)."""
+    from vit_unet_tpu.nn.mha import KerasMHA
+
+    rng = np.random.default_rng(2)
+    for n_q, n_k in [(256, 256), (64, 256)]:
+        q_in = jnp.asarray(rng.normal(size=(2, n_q, 48)), jnp.float32)
+        v_in = jnp.asarray(rng.normal(size=(2, n_k, 48)), jnp.float32)
+        ref_m = KerasMHA(num_heads=4, key_dim=24, dropout=0.0)
+        fl_m = KerasMHA(num_heads=4, key_dim=24, dropout=0.0,
+                        use_flash=True)
+        v = ref_m.init(jax.random.key(0), q_in, v_in)
+        out_ref = ref_m.apply(v, q_in, v_in, deterministic=True)
+        out_fl = fl_m.apply(v, q_in, v_in, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # training mode at dropout 0: the custom-VJP kernel's gradients
+        loss = lambda m: lambda p: jnp.sum(m.apply(
+            p, q_in, v_in, deterministic=False,
+            rngs={"dropout": jax.random.key(1)}) ** 2)
+        g_ref = jax.grad(loss(ref_m))(v)
+        g_fl = jax.grad(loss(fl_m))(v)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fl)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_tf_model_flash_original_attn_parity():
+    """The TF-flavour model's DEFAULT attention (keras MHA) rides the flash
+    kernels end to end: encoder self-attention and the skip cross-attention
+    all match the XLA path at a geometry above the token floor."""
+    big = dict(img_size=128, patch_size=(8, 16), transformer_layers=(1,),
+               size_bottleneck=1, num_heads=2, drop_attn=0.0,
+               drop_proj=0.0, drop_linear=0.0)
+    ref = get_hvit_unet_tf(**big)
+    fl = get_hvit_unet_tf(**big, use_flash=True)
+    v = jax.jit(ref.init)(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 128, 128, 3)),
+                    jnp.float32)
+    out_ref = jax.jit(lambda v_, x_: ref.apply(v_, x_))(v, x)
+    out_fl = jax.jit(lambda v_, x_: fl.apply(v_, x_))(v, x)
+    np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_ref),
+                               rtol=5e-4, atol=5e-4)
+
+    def loss(m):
+        def f(p):
+            y = m.apply(p, x, deterministic=False,
+                        rngs={"dropout": jax.random.key(1)})
+            return jnp.sum((y - 0.9 * x) ** 2)
+        return f
+    g_ref = jax.grad(loss(ref))(v)
+    g_fl = jax.grad(loss(fl))(v)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_fl)):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale,
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=jax.tree_util.keystr(kp))

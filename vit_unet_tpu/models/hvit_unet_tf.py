@@ -45,7 +45,10 @@ class HViTUNetTFConfig:
     drop_linear: float = 0.4
     resampling_type: str = "standard"        # 'max' | 'avg' | 'standard' | 'conv'
     original_attn: bool = True
-    use_flash: bool = False                  # Pallas re-attention kernels
+    use_flash: bool = False   # fused flash kernels: ReAttention when
+                              # original_attn=False, KerasMHA (identity
+                              # head-mix) + rectangular skip cross-attn
+                              # when original_attn=True
     flash_train: bool = False                # (only for original_attn=False)
     dtype: str = "float32"
     param_dtype: str = "float32"
@@ -146,6 +149,7 @@ class HViTUNetTF(nn.Module):
             # (tf/functions.py:371-395, call at tf/model.py:206)
             h = KerasMHA(num_heads=cfg.num_heads, key_dim=proj[lvl],
                          value_dim=proj[lvl], dropout=cfg.drop_attn,
+                         use_flash=cfg.use_flash,
                          dtype=dt, param_dtype=pdt,
                          name=f"SkipConnection_{i}")(
                              skips[i], h, deterministic=deterministic)

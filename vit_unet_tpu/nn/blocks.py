@@ -142,7 +142,8 @@ class TFTransformerEncoder(nn.Module):
             if self.original_attn:
                 attn_out = KerasMHA(
                     num_heads=self.num_heads, key_dim=self.projection_dim,
-                    dropout=self.attn_drop, dtype=self.dtype,
+                    dropout=self.attn_drop, use_flash=self.use_flash,
+                    dtype=self.dtype,
                     param_dtype=self.param_dtype, name=f"attn_{i}")(
                         x, x, deterministic=deterministic)
             else:
