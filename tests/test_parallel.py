@@ -396,6 +396,33 @@ class TestIntegratedSPFlash:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-5)
 
+    def test_flash_sp_dropout_streams(self):
+        """In-kernel TPU-PRNG dropout under SP flash: per-shard streams are
+        independent (the shard index strides the kernel seed), the rng key
+        matters, and training-mode output differs from eval."""
+        from tests.conftest import cpu_devices
+        mesh = create_mesh(model_parallel=2, devices=cpu_devices(8))
+        cfg = dict(self.CFG, attn_drop=0.5)
+        m = ViTUNet(ViTUNetConfig(**cfg, use_flash=True, flash_train=True,
+                                  flash_frozen_bn=True,
+                                  sequence_parallel=True,
+                                  sp_min_tokens=16), mesh=mesh)
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(2, 3, 64, 64)).astype(np.float32))
+        v = jax.jit(m.init)(jax.random.key(0), x[:1])
+        y_eval = m.apply(v, x, deterministic=True, use_running_average=True)
+        apply = lambda key: m.apply(v, x, deterministic=False,
+                                    use_running_average=False,
+                                    rngs={"dropout": jax.random.key(key)},
+                                    mutable=["batch_stats"])[0]
+        try:
+            y_a, y_b = apply(1), apply(2)
+        except NotImplementedError as e:  # pragma: no cover
+            pytest.skip(f"in-kernel PRNG unsupported in interpret mode: {e}")
+        assert np.isfinite(np.asarray(y_a)).all()
+        assert float(jnp.max(jnp.abs(y_a - y_b))) > 1e-6      # rng matters
+        assert float(jnp.max(jnp.abs(y_a - y_eval))) > 1e-6   # dropout on
+
     def test_eval_parity_flash_sp_vs_unsharded(self):
         mesh, m_one, m_sp = self._flash_models()
         rng = np.random.default_rng(6)
