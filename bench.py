@@ -78,13 +78,20 @@ def model_flops_per_image(name: str, batch: int = 8):
             steps.train_step.lower(state, {"x": x, "y": x}).compile(), batch)
 
 
-def measure_preset(name: str, frozen_bn: bool = False) -> float:
-    """Median train-step throughput (img/s/chip) for one preset.
+def measure_preset(name: str, frozen_bn: bool = False):
+    """(sync-every, pipelined) train-step throughput (img/s/chip).
 
     ``frozen_bn=False`` (the headline) trains with EXACT reference
     semantics — the head-mix BatchNorm uses this batch's own statistics,
     with full through-the-statistics gradients.  ``True`` is the documented
     ~10-20%-faster frozen-running-stats mode.
+
+    The first number syncs a scalar D2H every step (conservative, stable
+    across rounds); the second uses the Fitter's production dispatch model —
+    a bounded depth-8 queue of in-flight steps, syncing the oldest pending
+    loss before dispatching past the bound — which overlaps host dispatch
+    (and the ~27 ms tunnel round-trip) with device work, like the
+    reference's own Keras ``model.fit`` loop did.
     """
     from vit_unet_tpu.models.vit_unet import get_vit_unet
     from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
@@ -125,7 +132,23 @@ def measure_preset(name: str, frozen_bn: bool = False) -> float:
         float(m["loss"])
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median
-    return BATCH / dt
+    sync_every = BATCH / dt
+
+    # bounded depth-8 dispatch (train.fitter's default loop): per-step
+    # timing is ill-defined when dispatch overlaps device work, so time the
+    # whole window
+    from collections import deque
+    pending = deque()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = steps.train_step(state, data)
+        pending.append(m["loss"])
+        if len(pending) >= 8:
+            float(pending.popleft())
+    while pending:
+        float(pending.popleft())
+    pipelined = BATCH * iters / (time.perf_counter() - t0)
+    return sync_every, pipelined
 
 
 def _devices_bounded(timeout_s: float = 900.0):
@@ -182,19 +205,23 @@ def main() -> None:
             else None
 
     def robust(name, frozen):
-        """One preset's throughput, or None — a transiently flaky chip (or a
-        Mosaic regression in one preset) must not zero out the whole bench
-        artifact for the round."""
+        """One preset's throughput pair, or Nones — a transiently flaky chip
+        (or a Mosaic regression in one preset) must not zero out the whole
+        bench artifact for the round."""
         try:
             return measure_preset(name, frozen_bn=frozen)
         except Exception as e:
             import sys
             print(f"bench: {name} frozen={frozen} failed: {e!r}",
                   file=sys.stderr)
-            return None
+            return None, None
 
-    results = {name: robust(name, False) for name in names}
-    fast = {name: robust(name, True) for name in names}
+    both = {name: robust(name, False) for name in names}
+    both_fast = {name: robust(name, True) for name in names}
+    results = {name: v[0] for name, v in both.items()}
+    piped = {name: v[1] for name, v in both.items()}
+    fast = {name: v[0] for name, v in both_fast.items()}
+    piped_fast = {name: v[1] for name, v in both_fast.items()}
     base = results["base"]
     print(json.dumps({
         "metric": "images/sec/chip, base 224^2 train step "
@@ -212,6 +239,11 @@ def main() -> None:
         "large_fast": r2(fast["large"]),
         "base_fast_vs_baseline": ratio(fast["base"]),
         "lite_fast_vs_baseline": ratio(fast["lite"]),
+        # production dispatch model (train.fitter's bounded depth-8 queue):
+        # host dispatch + tunnel sync overlap device work, as in the
+        # reference's own Keras fit loop
+        "pipelined": {k: r2(v) for k, v in piped.items()},
+        "pipelined_fast": {k: r2(v) for k, v in piped_fast.items()},
         # model FLOPs/img (XLA cost_analysis of the pure-XLA train step:
         # fwd+bwd+optimizer) and MFU against the chip's bf16 peak
         # (v5e: 197 TFLOP/s)

@@ -71,6 +71,53 @@ def test_sharded_train_step(model_parallel):
         assert len(fc1.sharding.device_set) == 8
 
 
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_zero_sharding_optimizer_state(model_parallel):
+    """ZeRO-1: with ``zero_sharding=True`` the Adam moments live sharded
+    over the 'data' axis (per-chip optimizer memory / replicas) while the
+    training trajectory is exactly the replicated run's."""
+    devices = jax.devices("cpu")[:8]
+    mesh = create_mesh(model_parallel=model_parallel, devices=devices)
+    model = small_model()
+    tx = optax.adamw(1e-3)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 3, 64, 64)).astype(np.float32)
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(x * 0.9)}
+
+    def run(zero):
+        state = make_state(model, tx)
+        steps = build_step_functions(model, tx, mse, mesh=mesh,
+                                     zero_sharding=zero)
+        for _ in range(2):
+            state, m = steps.train_step(state, batch)
+        return state, float(m["loss"])
+
+    state_z, loss_z = run(True)
+    state_r, loss_r = run(False)
+    assert np.isclose(loss_z, loss_r, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32),
+        rtol=1e-6, atol=1e-7), state_z.params, state_r.params)
+
+    # the big moment leaves really live sharded over 'data' on the mesh
+    import optax as _optax
+    data_size = mesh.shape["data"]
+    specs = []
+    _optax.tree_map_params(
+        tx, lambda leaf: specs.append((leaf.shape, leaf.sharding.spec)),
+        state_z.opt_state)
+    data_sharded = [s for shape, s in specs
+                    if s is not None and "data" in str(s)]
+    assert data_sharded, specs
+    if model_parallel == 1:
+        # pure DP: every moment leaf with a divisible axis must be sharded
+        # over 'data' (nothing silently replicated)
+        for shape, s in specs:
+            if any(d % data_size == 0 and d >= data_size for d in shape):
+                assert "data" in str(s), (shape, s)
+
+
 def test_partition_rules():
     assert spec_for_path("Encoders_0/FeedForward/fc1/kernel") == P(None, "model")
     assert spec_for_path("Encoders_0/FeedForward/fc2/kernel") == P("model", None)

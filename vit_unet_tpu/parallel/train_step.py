@@ -57,11 +57,22 @@ def build_step_functions(
     mesh: Optional[Mesh] = None,
     metrics: Optional[dict[str, Callable]] = None,
     donate: bool = True,
+    zero_sharding: bool = False,
 ) -> StepFunctions:
     """Build jitted train/eval steps for a flax model over a mesh.
 
     The model's ``apply`` must accept ``deterministic`` and (if it carries
     BatchNorm) ``use_running_average``; both ViTUNet and HViTUNetTF do.
+
+    ``zero_sharding`` (ZeRO-1): shard param-shaped optimizer-state leaves
+    (Adam moments, accumulated grads, …) over the 'data' mesh axis instead
+    of replicating them — in pure DP this cuts per-chip optimizer memory by
+    the replica count (2/3 of AdamW training state).  Params stay
+    replicated; expressed purely as sharding annotations, so XLA partitions
+    the optimizer update across the data axis and inserts the param
+    all-gather itself (and is free to fuse the gradient psum into a
+    reduce-scatter feeding the sharded update).  Exactness is untouched —
+    the update math is elementwise per parameter.
     """
     metrics = metrics or {}
 
@@ -140,17 +151,42 @@ def build_step_functions(
     data = NamedSharding(mesh, P("data"))
     metric_shardings = {"loss": repl, **{m: repl for m in metrics}}
 
+    def _zero_shard(leaf, ns: NamedSharding) -> NamedSharding:
+        """ZeRO-1 spec for one param-shaped optimizer leaf: additionally
+        shard one axis over 'data' (when divisible).  An axis the TP rules
+        already shard keeps its mesh axes and gains 'data' on top
+        (``P(('model', 'data'))``) — e.g. a TP-sharded bias still splits its
+        moments across the data replicas, which is the whole point of ZeRO."""
+        if not zero_sharding or data_size <= 1 or not hasattr(leaf, "shape"):
+            return ns
+        spec = list(ns.spec) + [None] * (len(leaf.shape) - len(ns.spec))
+        best, best_shard = None, 0
+        for i, (s, d) in enumerate(zip(spec, leaf.shape)):
+            axes = () if s is None else (s if isinstance(s, tuple) else (s,))
+            prod = data_size
+            for a in axes:
+                prod *= mesh.shape[a]
+            if d % prod == 0 and d >= prod and d // prod * data_size > best_shard:
+                best, best_shard = i, d // prod * data_size
+        if best is None:
+            return ns
+        s = spec[best]
+        axes = () if s is None else (s if isinstance(s, tuple) else (s,))
+        spec[best] = axes + ("data",) if axes else "data"
+        return NamedSharding(mesh, P(*spec))
+
     def state_sharding_for(state: TrainState) -> TrainState:
         def to_sharding(spec_tree):
             return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
                                 is_leaf=lambda x: isinstance(x, P))
         param_shardings = to_sharding(partition_specs(state.params))
         # Optimizer moments (adam m/v, …) are param-shaped: shard them like
-        # their params so TP keeps optimizer memory distributed too;
-        # non-param leaves (counts, injected hyperparams) are replicated.
+        # their params so TP keeps optimizer memory distributed too (plus
+        # the 'data' axis under zero_sharding); non-param leaves (counts,
+        # injected hyperparams) are replicated.
         try:
             opt_shardings = optax.tree_map_params(
-                tx, lambda _, s: s, state.opt_state, param_shardings,
+                tx, _zero_shard, state.opt_state, param_shardings,
                 transform_non_params=lambda _: repl)
         except Exception:
             opt_shardings = jax.tree.map(lambda _: repl, state.opt_state)

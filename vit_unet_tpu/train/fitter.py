@@ -63,6 +63,7 @@ class Fitter:
         gradient_clip_norm: Optional[float] = None,
         grad_accum_steps: int = 1,
         dispatch_depth: int = 8,
+        zero_sharding: bool = False,
     ):
         """``gradient_clip_norm``: global-norm clipping before the optimizer
         update.  ``grad_accum_steps > 1``: accumulate that many micro-batch
@@ -75,8 +76,14 @@ class Fitter:
         donated buffers until the epoch-end sync, which degrades
         pathologically on remote/tunnelled backends and can pile up live
         donated state.  A small bound keeps the device saturated (dispatch
-        overlaps device work) while the queue stays shallow."""
+        overlaps device work) while the queue stays shallow.
+
+        ``zero_sharding``: ZeRO-1 — shard optimizer moments over the mesh's
+        'data' axis instead of replicating them (see
+        ``parallel.train_step.build_step_functions``).  Per-chip optimizer
+        memory drops by the replica count; params stay replicated."""
         self.model = model
+        self.zero_sharding = zero_sharding
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
             # the reference's convention: Adam(lr * REPLICAS) (nb cell 19)
@@ -120,7 +127,7 @@ class Fitter:
             rng=jax.random.key(self.seed + 1))
         self.steps = build_step_functions(
             self.model, self.tx, self.loss_fn, mesh=self.mesh,
-            metrics=self.metric_fns)
+            metrics=self.metric_fns, zero_sharding=self.zero_sharding)
         return self.state
 
     @staticmethod
