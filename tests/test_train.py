@@ -498,3 +498,57 @@ def test_async_save_then_load(tmp_path):
     fitter.save("async-ckpt", block=False)
     fitter.finalize_checkpoints()
     fitter.load("async-ckpt")
+
+
+def test_checkpoint_restore_across_mesh_topologies(tmp_path):
+    """Elastic recovery across TOPOLOGY changes: a full-state checkpoint
+    written by a DP=8 run restores onto a DP=4 x TP=2 mesh and training
+    continues with the identical trajectory — preemption-safe restart does
+    not require the original device layout.  (The reference's closest
+    artifact re-initialises the TPU per fold and loses all state,
+    ViT_UNet_TF_TPU.ipynb cell 23.)"""
+    from vit_unet_tpu.parallel.mesh import create_mesh
+
+    ds = SyntheticDenoise()
+    dl = batches(ds)
+    mesh_a = create_mesh(model_parallel=1, devices=jax.devices("cpu")[:8])
+    fitter = small_fitter(tmp_path, mesh=mesh_a)
+    fitter.fit(lambda: iter(dl), lambda: iter(dl), n_epochs=1,
+               save_last=True, verbose=False)
+    step_a = int(fitter.state.step)
+    assert step_a > 0
+
+    mesh_b = create_mesh(model_parallel=2, devices=jax.devices("cpu")[:8])
+    fitter2 = small_fitter(tmp_path, mesh=mesh_b)
+    fitter2.init_state(next(iter(batches(ds))))
+    start = fitter2.resume()
+    assert start == 1
+    assert int(fitter2.state.step) == step_a
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6),
+        fitter.state.params, fitter2.state.params)
+
+    # the SAME next step on both topologies advances the SAME trajectory
+    # (reduction-order noise only: DP=8 vs DP=4 x TP=2 split the sums
+    # differently).  Exception: the head-mix conv bias — its XLA-autodiff
+    # gradient is pure cancellation residue (two broadcast paths, +chat and
+    # -mu, cancel exactly under batch-stats BN; see docs/PERF.md), so its
+    # SIGN flips with reduction order and Adam steps it a full ±lr either
+    # way.  Every other leaf must match to f32 reduction noise.
+    sb = next(iter(batches(ds, bs=8)))
+    s1, m1 = fitter.steps.train_step(fitter.state, sb)
+    s2, m2 = fitter2.steps.train_step(fitter2.state, sb)
+    assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
+    flat1, _ = jax.tree_util.tree_flatten_with_path(s1.params)
+    for (path, a), b in zip(flat1, jax.tree.leaves(s2.params)):
+        name = jax.tree_util.keystr(path)
+        if "reatten_matrix" in name and "bias" in name:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-3 * 2.1)  # ±1 Adam step of lr
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-4, err_msg=name)
+    # and the restored run is genuinely sharded over the new mesh
+    fc1 = s2.params["Encoders_0"]["FeedForward"]["fc1"]["kernel"]
+    assert len(fc1.sharding.device_set) == 8

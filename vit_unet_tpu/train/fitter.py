@@ -208,16 +208,42 @@ class Fitter:
             ckptr.wait_until_finished()
         return path
 
-    def load(self, name: str = "best-checkpoint",
-             with_extra: bool = False):
-        path = self._ckpt_path(name)
-        self.finalize_checkpoints()          # don't read a half-written dir
-        ckptr = self._checkpointer
+    def _state_template(self) -> dict:
+        """Restore template.  With a mesh, leaves are abstract arrays
+        carrying the step functions' shardings, so orbax restores STRAIGHT
+        INTO the sharded layout — elastic restart onto a different topology
+        than the one that saved (and, multi-host, each process reads only
+        its shards).  A concrete single-device template would come back
+        committed to one device and be rejected by the train step's
+        ``in_shardings``."""
         template = {"params": self.state.params,
                     "opt_state": self.state.opt_state,
                     "batch_stats": self.state.batch_stats,
                     "step": self.state.step,
                     "rng": jax.random.key_data(self.state.rng)}
+        if self.mesh is None or self.steps is None:
+            return template
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ss = self.steps.state_sharding(self.state)
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        shardings = {"params": ss.params, "opt_state": ss.opt_state,
+                     "batch_stats": ss.batch_stats, "step": repl,
+                     "rng": repl}
+
+        def abstract(x, s):
+            x = jnp.asarray(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+        return {k: jax.tree.map(abstract, v, shardings[k])
+                for k, v in template.items()}
+
+    def load(self, name: str = "best-checkpoint",
+             with_extra: bool = False):
+        path = self._ckpt_path(name)
+        self.finalize_checkpoints()          # don't read a half-written dir
+        ckptr = self._checkpointer
+        template = self._state_template()
         if with_extra:
             template = dict(template, extra={"epoch": 0, "best": 0.0})
         try:
