@@ -532,8 +532,9 @@ def test_checkpoint_restore_across_mesh_topologies(tmp_path):
     # the SAME next step on both topologies advances the SAME trajectory
     # (reduction-order noise only: DP=8 vs DP=4 x TP=2 split the sums
     # differently).  Exception: the head-mix conv bias — its XLA-autodiff
-    # gradient is pure cancellation residue (two broadcast paths, +chat and
-    # -mu, cancel exactly under batch-stats BN; see docs/PERF.md), so its
+    # gradient is pure cancellation residue (the bias reaches the BN input
+    # directly and again through the batch mean, and the +x / -mu broadcast
+    # paths cancel exactly under batch-stats BN; see docs/PERF.md), so its
     # SIGN flips with reduction order and Adam steps it a full ±lr either
     # way.  Every other leaf must match to f32 reduction noise.
     sb = next(iter(batches(ds, bs=8)))
@@ -541,7 +542,7 @@ def test_checkpoint_restore_across_mesh_topologies(tmp_path):
     s2, m2 = fitter2.steps.train_step(fitter2.state, sb)
     assert float(m2["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-5)
     flat1, _ = jax.tree_util.tree_flatten_with_path(s1.params)
-    for (path, a), b in zip(flat1, jax.tree.leaves(s2.params)):
+    for (path, a), b in zip(flat1, jax.tree.leaves(s2.params), strict=True):
         name = jax.tree_util.keystr(path)
         if "reatten_matrix" in name and "bias" in name:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -49,7 +49,14 @@ class HViTUNetTFConfig:
                               # original_attn=False, KerasMHA (identity
                               # head-mix) + rectangular skip cross-attn
                               # when original_attn=True
-    flash_train: bool = False                # (only for original_attn=False)
+    flash_train: bool = False # extra flag for the ReAttention path ONLY
+                              # (original_attn=False): route its train-mode
+                              # forward/backward through the custom-VJP
+                              # kernels too.  The keras-MHA path
+                              # (original_attn=True) needs no extra flag —
+                              # use_flash alone already runs *training*
+                              # on the train kernel with in-kernel TPU-PRNG
+                              # dropout (nn/mha.py KerasMHA._flash_core).
     dtype: str = "float32"
     param_dtype: str = "float32"
 

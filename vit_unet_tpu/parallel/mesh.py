@@ -61,6 +61,12 @@ def create_hybrid_mesh(model_parallel: int = 1,
     between slices, ICI within), model parallelism stays inside a slice
     (its collectives are per-layer and must ride ICI).  Falls back to
     ``create_mesh`` on a single slice / non-TPU backends.
+
+    Honesty note: this path has NEVER run on real multi-slice hardware —
+    this environment has one chip.  It is validated only against a mock
+    topology (tests fabricate ``slice_index`` on CPU devices,
+    tests/test_parallel.py), which checks the placement logic but not real
+    DCN behavior.
     """
     devices = list(devices if devices is not None else jax.devices())
     slice_ids = {getattr(d, "slice_index", 0) for d in devices}

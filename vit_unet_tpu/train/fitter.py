@@ -238,18 +238,36 @@ class Fitter:
         return {k: jax.tree.map(abstract, v, shardings[k])
                 for k, v in template.items()}
 
+    def _ckpt_has_extra(self, path: str) -> Optional[bool]:
+        """Whether the checkpoint at ``path`` carries an 'extra' entry,
+        decided from orbax metadata (no trial restore).  None = metadata
+        unavailable (older orbax / partial write) — caller falls back to a
+        narrowly-scoped trial."""
+        try:
+            meta = self._checkpointer.metadata(path)
+            tree = getattr(getattr(meta, "item_metadata", None), "tree", None)
+            if isinstance(tree, dict):
+                return "extra" in tree
+        except Exception:
+            pass
+        return None
+
     def load(self, name: str = "best-checkpoint",
              with_extra: bool = False):
         path = self._ckpt_path(name)
         self.finalize_checkpoints()          # don't read a half-written dir
         ckptr = self._checkpointer
         template = self._state_template()
-        if with_extra:
+        has_extra = self._ckpt_has_extra(path) if with_extra else False
+        if with_extra and has_extra is not False:
             template = dict(template, extra={"epoch": 0, "best": 0.0})
         try:
             restored = ckptr.restore(path, template)
-        except Exception:
-            if not with_extra:
+        except ValueError:
+            # only the metadata-inconclusive case may retry without 'extra'
+            # (checkpoint predates it); real restore failures — sharding /
+            # shape / topology mismatches — propagate with their own error
+            if has_extra is not None or "extra" not in template:
                 raise
             template.pop("extra")            # checkpoint predates 'extra'
             restored = ckptr.restore(path, template)
