@@ -155,3 +155,77 @@ def test_global_residual_flag():
         ViTUNetConfig(depth=1, depth_te=1, size_bottleneck=1, im_size=32,
                       patch_size=8, hidden_dim=16, num_heads=2,
                       out_channels=1, global_residual=True)
+
+
+def test_residual_gain_extension():
+    """residual_gain (framework extension): zero-init per-channel gain on
+    the residual branch — the initial forward is EXACTLY the identity (the
+    attractor CONVERGENCE.json documents), and the gain receives gradient
+    so the correction branch can grow back."""
+    cfg = ViTUNetConfig(depth=1, depth_te=1, size_bottleneck=1,
+                        preprocessing="conv", im_size=32, patch_size=8,
+                        hidden_dim=16, num_heads=2, attn_drop=0.0,
+                        proj_drop=0.0, global_residual=True,
+                        residual_gain=True)
+    model = ViTUNet(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    assert variables["params"]["residual_gain"].shape == (3,)
+    out = model.apply(variables, x, deterministic=True,
+                      use_running_average=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                               rtol=0, atol=0)  # exact identity at init
+
+    # gradient reaches the gain (the branch can re-grow)
+    y = x * 0.5
+
+    def loss(params):
+        pred, _ = model.apply(
+            {**variables, "params": params}, x, deterministic=False,
+            use_running_average=False, rngs={"dropout": jax.random.key(1)},
+            mutable=["batch_stats"])
+        return jnp.mean((pred - y) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert float(jnp.abs(g["residual_gain"]).max()) > 0
+
+    with pytest.raises(ValueError, match="residual_gain"):
+        ViTUNetConfig(depth=1, depth_te=1, size_bottleneck=1, im_size=32,
+                      patch_size=8, hidden_dim=16, num_heads=2,
+                      residual_gain=True)  # requires global_residual
+
+
+def test_input_skip_extension():
+    """input_skip (framework extension): the raw input is concatenated with
+    the decoded features before the output conv — output shape unchanged,
+    extra conv input channels only, and the head has direct pixel access
+    (zeroing every param except an identity output-conv tap on the input
+    channels reproduces the input exactly)."""
+    kw = dict(depth=1, depth_te=1, size_bottleneck=1, preprocessing="conv",
+              im_size=32, patch_size=8, hidden_dim=16, num_heads=2,
+              attn_drop=0.0, proj_drop=0.0)
+    model = ViTUNet(ViTUNetConfig(**kw, input_skip=True))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    # conv sees feature channels + 3 raw input channels
+    k = variables["params"]["conv2d"]["kernel"]
+    base = ViTUNet(ViTUNetConfig(**kw)).init(jax.random.key(0), x)
+    k_base = base["params"]["conv2d"]["kernel"]
+    assert k.shape[2] == k_base.shape[2] + 3
+    out = model.apply(variables, x, deterministic=True,
+                      use_running_average=True)
+    assert out.shape == x.shape
+
+    # direct pixel access: zero everything, set the conv's centre tap on
+    # the raw-input channels to identity -> output == input
+    params = jax.tree.map(jnp.zeros_like, variables["params"])
+    eye = jnp.zeros_like(k)
+    for c in range(3):
+        eye = eye.at[1, 1, k.shape[2] - 3 + c, c].set(1.0)
+    params["conv2d"]["kernel"] = eye
+    got = model.apply({**variables, "params": params}, x,
+                      deterministic=True, use_running_average=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)

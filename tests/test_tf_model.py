@@ -149,3 +149,16 @@ def test_tf_model_flash_original_attn_parity():
                                    np.asarray(a) / scale,
                                    rtol=1e-3, atol=1e-3,
                                    err_msg=jax.tree_util.keystr(kp))
+
+
+def test_tf_model_residual_gain():
+    """residual_gain extension on the TF model: initial forward is exactly
+    the identity (zero-init gain on the decoded branch, tf/model.py:208
+    output form), and the gain parameter exists per channel."""
+    m = get_hvit_unet_tf(**SMALL, residual_gain=True)
+    v = jax.jit(m.init)(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    assert v["params"]["residual_gain"].shape == (3,)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 64, 64, 3)),
+                    jnp.float32)
+    y = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=0, atol=0)

@@ -57,6 +57,13 @@ class HViTUNetTFConfig:
                               # use_flash alone already runs *training*
                               # on the train kernel with in-kernel TPU-PRNG
                               # dropout (nn/mha.py KerasMHA._flash_core).
+    residual_gain: bool = False  # framework extension (not reference
+                                 # parity): zero-init learned per-channel
+                                 # gain g on the global-residual branch,
+                                 # Y = X + g * unpatch(decoded).  Output
+                                 # starts exactly at the identity the plain
+                                 # residual (tf/model.py:208) dies into;
+                                 # any learned correction is pure gain.
     dtype: str = "float32"
     param_dtype: str = "float32"
 
@@ -161,7 +168,12 @@ class HViTUNetTF(nn.Module):
                          name=f"SkipConnection_{i}")(
                              skips[i], h, deterministic=deterministic)
 
-        return x + unpatchify_cl(h, cfg.num_channels).astype(x.dtype)
+        out = unpatchify_cl(h, cfg.num_channels).astype(x.dtype)
+        if cfg.residual_gain:
+            g = self.param("residual_gain", nn.initializers.zeros,
+                           (cfg.num_channels,), pdt)
+            return x + g.astype(x.dtype)[None, None, None, :] * out
+        return x + out
 
 
 def get_hvit_unet_tf(**overrides) -> HViTUNetTF:

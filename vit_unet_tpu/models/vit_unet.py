@@ -59,6 +59,28 @@ class ViTUNetConfig:
     global_residual: bool = False    # Y = X + decoded, the TF variant's
                                      # output form (tf/model.py:208) — makes
                                      # restoration start from identity
+    residual_gain: bool = False      # framework extension (not reference
+                                     # parity): zero-init learned per-channel
+                                     # gain g on the residual branch,
+                                     # Y = X + g * decoded.  Output starts
+                                     # exactly at identity (the attractor the
+                                     # plain residual dies into — see
+                                     # CONVERGENCE.json / docs/PERF.md) and
+                                     # any learned correction is pure PSNR
+                                     # gain; requires global_residual
+    input_skip: bool = False         # framework extension (not reference
+                                     # parity): concatenate the raw input
+                                     # with the decoded feature map before
+                                     # the output conv.  The output head
+                                     # then has direct pixel access, so
+                                     # local corrections (denoising is one)
+                                     # need not survive the patch-attention
+                                     # trunk, whose measured reconstruction
+                                     # error exceeds typical noise power —
+                                     # the mechanism behind the identity
+                                     # attractor (CONVERGENCE.json,
+                                     # docs/PERF.md "End-to-end training
+                                     # behavior")
     use_flash: bool = False          # Pallas fused attention path (eval)
     flash_train: bool = False        # ...and in training: in-kernel attn
                                      # dropout, exact batch-stats BN head-mix
@@ -95,6 +117,8 @@ class ViTUNetConfig:
                 and self.out_channels != self.num_channels):
             raise ValueError(
                 "global_residual requires out_channels == num_channels")
+        if self.residual_gain and not self.global_residual:
+            raise ValueError("residual_gain requires global_residual=True")
         if (self.preprocessing == "fourier" and self.out_channels
                 and self.out_channels != self.num_channels):
             raise ValueError(
@@ -182,9 +206,15 @@ class ViTUNet(nn.Module):
                 sp_min_tokens=cfg.sp_min_tokens, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]
         out_ch = cfg.out_channels or cfg.num_channels
-        if cfg.preprocessing == "conv" or out_ch != cfg.num_channels:
+        if (cfg.preprocessing == "conv" or out_ch != cfg.num_channels
+                or cfg.input_skip):
             self.conv2d = nn.Conv(out_ch, (3, 3), padding="SAME",
                                   dtype=dt, param_dtype=pdt)
+        if cfg.residual_gain:
+            # zero-init per-channel gain on the residual branch (framework
+            # extension — see ViTUNetConfig.residual_gain)
+            self.res_gain = self.param(
+                "residual_gain", nn.initializers.zeros, (out_ch,), pdt)
 
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
                  use_running_average: bool = True) -> jnp.ndarray:
@@ -219,10 +249,17 @@ class ViTUNet(nn.Module):
 
         out = unpatchify(h, cfg.num_channels)
         out_ch = cfg.out_channels or cfg.num_channels
-        if cfg.preprocessing == "conv" or out_ch != cfg.num_channels:
+        if cfg.input_skip:
+            out = jnp.concatenate([out, x], axis=1)
+        if (cfg.preprocessing == "conv" or out_ch != cfg.num_channels
+                or cfg.input_skip):
             out = self.conv2d(out.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         if cfg.global_residual:
-            out = x + out
+            if cfg.residual_gain:
+                g = self.res_gain.astype(out.dtype)[None, :, None, None]
+                out = x.astype(out.dtype) + g * out
+            else:
+                out = x + out
         elif cfg.preprocessing == "fourier":
             # reference quirk (torch/model.py:429-430): ifft2 of the *input*
             out = jnp.fft.ifft2(x, norm="ortho").real.astype(out.dtype)
