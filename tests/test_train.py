@@ -553,3 +553,39 @@ def test_checkpoint_restore_across_mesh_topologies(tmp_path):
     # and the restored run is genuinely sharded over the new mesh
     fc1 = s2.params["Encoders_0"]["FeedForward"]["fc1"]["kernel"]
     assert len(fc1.sharding.device_set) == 8
+
+
+def test_bn_freeze_epochs_warmup(tmp_path):
+    """Frozen→batch-stats BN warmup (Fitter(bn_freeze_epochs=K)): during
+    the frozen phase the BN running statistics are bitwise untouched (the
+    train step runs use_running_average=True), after the flip they update;
+    training stays finite across the flip."""
+    ds = SyntheticDenoise(n=8)
+    fitter = small_fitter(tmp_path, bn_freeze_epochs=2)
+    dl = batches(ds, bs=4)
+    fitter.init_state(next(iter(dl)))
+    assert fitter.state.batch_stats, "model must carry BN stats"
+    stats0 = jax.tree.map(np.asarray, fitter.state.batch_stats)
+
+    # phase 1: frozen epochs only
+    fitter.fit(lambda: iter(dl), n_epochs=2, verbose=False, save_best=False)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        stats0, fitter.state.batch_stats)
+
+    # phase 2: continue into exact batch-stats epochs
+    h = fitter.fit(lambda: iter(dl), n_epochs=4, initial_epoch=2,
+                   verbose=False, save_best=False)
+    leaves0 = jax.tree.leaves(stats0)
+    leaves1 = [np.asarray(x) for x in jax.tree.leaves(fitter.state.batch_stats)]
+    assert any(not np.array_equal(a, b) for a, b in zip(leaves0, leaves1)), \
+        "running stats must update once the warmup flips to exact BN"
+    assert np.isfinite(h["loss"]).all()
+
+    # a permanently-frozen model has nothing to flip to
+    frozen_model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, hidden_dim=16, num_heads=2,
+        flash_frozen_bn=True))
+    with pytest.raises(ValueError, match="bn_freeze_epochs"):
+        Fitter(frozen_model, bn_freeze_epochs=1)

@@ -58,6 +58,7 @@ def build_step_functions(
     metrics: Optional[dict[str, Callable]] = None,
     donate: bool = True,
     zero_sharding: bool = False,
+    bn_frozen: bool = False,
 ) -> StepFunctions:
     """Build jitted train/eval steps for a flax model over a mesh.
 
@@ -73,6 +74,14 @@ def build_step_functions(
     all-gather itself (and is free to fuse the gradient psum into a
     reduce-scatter feeding the sharded update).  Exactness is untouched —
     the update math is elementwise per parameter.
+
+    ``bn_frozen``: the TRAIN step runs BatchNorm at its running statistics
+    (``use_running_average=True``, no stat updates) while dropout stays
+    active — the frozen-BN training semantics, applied uniformly on every
+    compute path (XLA, flash kernels, sequence-parallel).  Used by
+    ``Fitter(bn_freeze_epochs=K)`` for the frozen→batch-stats warmup that
+    makes the torch architecture's exact-BN semantics trainable
+    (docs/PERF.md "End-to-end training behavior").  Eval is unaffected.
     """
     metrics = metrics or {}
 
@@ -106,8 +115,8 @@ def build_step_functions(
             if state.batch_stats:
                 pred, updates = model.apply(
                     variables, x, deterministic=False,
-                    use_running_average=False, rngs={"dropout": step_rng},
-                    mutable=["batch_stats"])
+                    use_running_average=bn_frozen,
+                    rngs={"dropout": step_rng}, mutable=["batch_stats"])
             else:
                 pred = model.apply(variables, x, deterministic=False,
                                    rngs={"dropout": step_rng})

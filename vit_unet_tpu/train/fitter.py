@@ -64,6 +64,7 @@ class Fitter:
         grad_accum_steps: int = 1,
         dispatch_depth: int = 8,
         zero_sharding: bool = False,
+        bn_freeze_epochs: int = 0,
     ):
         """``gradient_clip_norm``: global-norm clipping before the optimizer
         update.  ``grad_accum_steps > 1``: accumulate that many micro-batch
@@ -81,8 +82,29 @@ class Fitter:
         ``zero_sharding``: ZeRO-1 — shard optimizer moments over the mesh's
         'data' axis instead of replicating them (see
         ``parallel.train_step.build_step_functions``).  Per-chip optimizer
-        memory drops by the replica count; params stay replicated."""
+        memory drops by the replica count; params stay replicated.
+
+        ``bn_freeze_epochs``: frozen→batch BN warmup.  The torch
+        architecture's exact batch-stats BN (the head-mix BatchNorm inside
+        re-attention, reference torch/model.py:136,159) cannot train from
+        scratch — batch-stat normalisation feedback pins the optimiser at
+        the init plateau (CONVERGENCE.json segmentation_demo, docs/PERF.md).
+        With ``bn_freeze_epochs=K`` the first K epochs train with BN frozen
+        at its running statistics (``use_running_average=True`` inside the
+        train step — every compute path honors it: XLA, flash kernels, SP)
+        so features form, then training flips to exact batch-stats
+        semantics for the remaining epochs.  Same model, same parameter
+        tree; eval semantics are identical in both phases (running
+        averages)."""
         self.model = model
+        self.bn_freeze_epochs = int(bn_freeze_epochs)
+        if (self.bn_freeze_epochs > 0
+                and getattr(getattr(model, "config", None),
+                            "flash_frozen_bn", False)):
+            raise ValueError(
+                "bn_freeze_epochs is a frozen→batch-stats warmup; the model "
+                "is already permanently frozen (flash_frozen_bn=True) so "
+                "there is nothing to flip to")
         self.zero_sharding = zero_sharding
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
@@ -128,6 +150,17 @@ class Fitter:
         self.steps = build_step_functions(
             self.model, self.tx, self.loss_fn, mesh=self.mesh,
             metrics=self.metric_fns, zero_sharding=self.zero_sharding)
+        if self.bn_freeze_epochs > 0:
+            # same model and parameter tree, frozen-BN train semantics
+            # (use_running_average=True inside the train step); used for the
+            # first bn_freeze_epochs epochs — eval always runs
+            # running-average semantics via self.steps
+            self._frozen_steps = build_step_functions(
+                self.model, self.tx, self.loss_fn, mesh=self.mesh,
+                metrics=self.metric_fns, zero_sharding=self.zero_sharding,
+                bn_frozen=True)
+        else:
+            self._frozen_steps = None
         return self.state
 
     @staticmethod
@@ -394,10 +427,14 @@ class Fitter:
             # donated buffers pile up unboundedly (see __init__ docstring)
             from collections import deque
             pending: deque = deque()
+            train_step = (self._frozen_steps.train_step
+                          if self._frozen_steps is not None
+                          and epoch < self.bn_freeze_epochs
+                          else self.steps.train_step)
             for i, batch in enumerate(data):
                 if steps_per_epoch is not None and i >= steps_per_epoch:
                     break
-                self.state, out = self.steps.train_step(
+                self.state, out = train_step(
                     self.state, self._device_batch(batch))
                 n_steps += 1
                 pending.append(out)
