@@ -293,3 +293,56 @@ def test_python_reader_raises_ioerror_on_truncation(tmp_path, monkeypatch):
     open(path, "wb").write(raw[:-6])          # chop the tail
     with pytest.raises(IOError, match="truncated"):
         list(tfr.read_records(path))
+
+
+def test_tfrecord_stream_matches_materialised(tmp_path):
+    """TFRecordStream (streaming, bounded-RAM) yields exactly the content
+    tfrecord_dataset materialises, in order when unshuffled; the streaming
+    record reader agrees with the slurping one byte-for-byte."""
+    from vit_unet_tpu.data.loader import TFRecordStream
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            for _ in range(10)]
+    items = [{"x": im.tobytes(), "y": (255 - im).tobytes()} for im in imgs]
+    paths = tfr.convert(items, str(tmp_path), "fold_0_", lambda it: it)
+
+    # record-level parity: streaming reader == whole-file reader
+    for p in paths:
+        a = list(tfr.read_records(p))
+        b = list(tfr.read_records_streaming(p))
+        assert a == b
+
+    ds = tfrecord_dataset(paths, shape=(8, 8, 3))
+    stream = TFRecordStream(paths, shape=(8, 8, 3), batch_size=4)
+    got = [b for b in stream]
+    assert len(got) == 2  # 10 records, drop_remainder
+    flat_stream = np.concatenate([b["x"] for b in got])
+    flat_ds = np.stack([ds[i]["x"] for i in range(8)])
+    np.testing.assert_allclose(flat_stream, flat_ds)
+
+    # shuffled epochs: same multiset, different order, re-iterable
+    sh = TFRecordStream(paths, shape=(8, 8, 3), batch_size=5,
+                        shuffle_buffer=4, seed=3)
+    e1 = np.concatenate([b["x"] for b in sh])
+    e2 = np.concatenate([b["x"] for b in sh])
+    assert e1.shape == e2.shape == (10, 3, 8, 8)
+    np.testing.assert_allclose(
+        np.sort(e1.reshape(10, -1).sum(1)), np.sort(e2.reshape(10, -1).sum(1)))
+    assert not np.allclose(e1, e2)  # order differs across epochs
+
+
+def test_tfrecord_streaming_reader_detects_corruption(tmp_path):
+    path = str(tmp_path / "x.tfrec")
+    with tfr.TFRecordWriter(path) as w:
+        for _ in range(3):
+            w.write_example({"x": b"abc", "y": b"def"})
+    raw = bytearray(open(path, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        list(tfr.read_records_streaming(path))
+    # truncation mid-record
+    open(path, "wb").write(bytes(raw[:-6]))
+    with pytest.raises(IOError, match="truncated"):
+        list(tfr.read_records_streaming(path, verify_crc=False))

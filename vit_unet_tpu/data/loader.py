@@ -137,6 +137,86 @@ def tfrecord_dataset(paths: Sequence[str], shape: tuple, dtype=np.uint8,
     return _InMemory()
 
 
+class TFRecordStream:
+    """Streaming {'x','y'} batches straight off TFRecord shards — bounded
+    RAM (one record + the shuffle buffer), no whole-shard materialisation.
+
+    The streaming counterpart of ``tfrecord_dataset`` (which decodes every
+    record of every shard into memory up front — fine at demo scale, not a
+    production input story).  Records are read incrementally
+    (``tfrecord.read_records_streaming``: peak RAM one record, CRC on the
+    C++ fast path), decoded to float32, and collated into fixed-size
+    batches.  ``shuffle_buffer > 0`` gives tf.data-style reservoir
+    shuffling with a fresh seed per epoch (plus shard-order shuffling).
+    Re-iterable: pass the instance itself to ``Fitter.fit`` for multi-epoch
+    training.
+    """
+
+    def __init__(self, paths: Sequence[str], shape: tuple, batch_size: int,
+                 dtype=np.uint8, normalize: bool = True,
+                 channels_first: bool = True, shuffle_buffer: int = 0,
+                 seed: int = 0, drop_remainder: bool = True,
+                 verify_crc: bool = True):
+        self.paths = list(paths)
+        self.shape = shape
+        self.batch_size = batch_size
+        self.dtype = dtype
+        self.normalize = normalize
+        self.channels_first = channels_first
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.verify_crc = verify_crc
+        self._epoch = 0
+
+    def _decode(self, ex: dict) -> dict:
+        out = {}
+        for k in ("x", "y"):
+            a = np.frombuffer(ex[k][0], dtype=self.dtype).reshape(self.shape)
+            a = a.astype(np.float32)
+            if self.normalize:
+                a = a / 255.0
+            if self.channels_first:
+                a = a.transpose(2, 0, 1)
+            out[k] = a
+        return out
+
+    def _samples(self, rng) -> Iterator[dict]:
+        paths = list(self.paths)
+        if rng is not None:
+            rng.shuffle(paths)
+        buf: list[dict] = []
+        for p in paths:
+            for ex in tfr.read_examples(p, verify_crc=self.verify_crc,
+                                        streaming=True):
+                s = self._decode(ex)
+                if rng is None:
+                    yield s
+                    continue
+                buf.append(s)
+                if len(buf) >= self.shuffle_buffer:
+                    j = int(rng.integers(len(buf)))
+                    buf[j], s = buf[-1], buf[j]
+                    buf.pop()
+                    yield s
+        if rng is not None:
+            rng.shuffle(buf)
+            yield from buf
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = (np.random.default_rng(self.seed + self._epoch)
+               if self.shuffle_buffer > 0 else None)
+        self._epoch += 1
+        batch: list[dict] = []
+        for s in self._samples(rng):
+            batch.append(s)
+            if len(batch) == self.batch_size:
+                yield _collate(batch)
+                batch = []
+        if batch and not self.drop_remainder:
+            yield _collate(batch)
+
+
 def tfdata_pipeline(
     filenames: Sequence[str],
     shape: tuple,

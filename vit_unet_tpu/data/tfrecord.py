@@ -326,8 +326,49 @@ def read_records(path, verify_crc: bool = True) -> Iterator[bytes]:
         pos += 16 + length
 
 
-def read_examples(path: str, verify_crc: bool = True) -> Iterator[dict]:
-    for payload in read_records(path, verify_crc):
+def read_records_streaming(path, verify_crc: bool = True) -> Iterator[bytes]:
+    """Yield record payloads reading the file INCREMENTALLY — peak RAM is
+    one record, not one shard (``read_records`` slurps the whole file to
+    hand it to the C++ single-pass scanner; fine for size-capped shards,
+    wrong for a long-running streaming consumer).  CRC verification still
+    rides the C++ slicing-by-8 ``crc32c`` when the extension is built.
+    Works on local paths, fsspec URLs and open binary files."""
+    f, owns, path = _open_binary(path, "rb")
+    try:
+        pos = 0
+        while True:
+            head = f.read(12)
+            if not head:
+                return
+            if len(head) < 12:
+                raise IOError(f"truncated record header at offset {pos} "
+                              f"in {path}")
+            (length,) = struct.unpack_from("<Q", head, 0)
+            (hcrc,) = struct.unpack_from("<I", head, 8)
+            body = f.read(length + 4)
+            if len(body) < length + 4:
+                raise IOError(f"truncated record at offset {pos} in {path}")
+            payload = body[:length]
+            (pcrc,) = struct.unpack_from("<I", body, length)
+            if verify_crc:
+                if masked_crc(head[:8]) != hcrc:
+                    raise IOError(f"corrupt record header at offset {pos} "
+                                  f"in {path}")
+                if masked_crc(payload) != pcrc:
+                    raise IOError(f"corrupt record payload at offset {pos} "
+                                  f"in {path}")
+            yield payload
+            pos += 16 + length
+    finally:
+        if owns:
+            f.close()
+
+
+def read_examples(path: str, verify_crc: bool = True,
+                  streaming: bool = False) -> Iterator[dict]:
+    records = (read_records_streaming if streaming else read_records)(
+        path, verify_crc)
+    for payload in records:
         yield decode_example(payload)
 
 
