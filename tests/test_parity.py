@@ -229,3 +229,37 @@ def test_input_skip_extension():
                       deterministic=True, use_running_average=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_head_blocks_extension():
+    """head_blocks (framework extension): a short nonlinear conv stack
+    before the output conv — output shape unchanged, parameters present at
+    the configured width, gradients reach every head conv, and
+    head_blocks=0 (default) leaves the parameter tree identical to the
+    baseline (pure extension, no parity impact)."""
+    kw = dict(depth=1, depth_te=1, size_bottleneck=1, preprocessing="conv",
+              im_size=32, patch_size=8, hidden_dim=16, num_heads=2,
+              attn_drop=0.0, proj_drop=0.0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)),
+                    jnp.float32)
+    base = ViTUNet(ViTUNetConfig(**kw)).init(jax.random.key(0), x)
+    model = ViTUNet(ViTUNetConfig(**kw, input_skip=True, head_blocks=2,
+                                  head_dim=16))
+    variables = model.init(jax.random.key(0), x)
+    assert variables["params"]["head_0"]["kernel"].shape[-1] == 16
+    assert variables["params"]["head_1"]["kernel"].shape[:2] == (3, 3)
+    assert "head_0" not in base["params"]
+    out = model.apply(variables, x, deterministic=True,
+                      use_running_average=True)
+    assert out.shape == x.shape
+
+    def loss(params):
+        pred, _ = model.apply(
+            {**variables, "params": params}, x, deterministic=False,
+            use_running_average=False, rngs={"dropout": jax.random.key(1)},
+            mutable=["batch_stats"])
+        return jnp.mean(pred.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    for name in ("head_0", "head_1"):
+        assert float(jnp.abs(g[name]["kernel"]).max()) > 0

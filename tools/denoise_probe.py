@@ -12,6 +12,17 @@ SIDD recreation to pick the one worth a full convergence run:
                   learned per-channel gain): starts exactly at identity,
                   any learned correction is pure PSNR gain.
   tf-gain         HViTUNetTF (the reference's TPU model) + residual_gain.
+  vitunet-skip[-res]        input_skip extension (direct pixel access at
+                            the output conv), optionally + global residual.
+  vitunet-skip-fresh        input_skip + AWGN resampled per epoch (the
+                            anti-memorisation recipe; control for head2/3).
+  vitunet-skip-head2/head3  input_skip + head_blocks=2 (dim 32) / 3 (dim
+                            48): nonlinear conv head. Measured (15-epoch
+                            probes, noisy 20.40 dB): skip-frozen-noise
+                            21.12, head2 28.65, head3 29.36 dB.
+  cnn-head-baseline         the bare 2-block head on raw pixels, NO trunk
+                            — the ablation for how much context the trunk
+                            adds.
 
 All probes ride the flash training kernels.  Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python tools/denoise_probe.py [tags...]
@@ -44,7 +55,9 @@ EPOCHS = 15
 
 
 def probe(tag: str, model, channels_last: bool, peak_lr: float,
-          epochs: int = EPOCHS):
+          epochs: int = EPOCHS, fresh_noise: bool = False):
+    from convergence_sidd import NOISE_SIGMA, clean_images
+    clean = clean_images(N_TRAIN, 0)
     xs, ys = make_pairs(N_TRAIN, 0)
     xv, yv = make_pairs(N_VAL, 777)
     if channels_last:
@@ -65,6 +78,18 @@ def probe(tag: str, model, channels_last: bool, peak_lr: float,
     hist = []
     t0 = time.time()
     for ep in range(epochs):
+        if fresh_noise:
+            # resample the AWGN on the same clean content each epoch — the
+            # model cannot memorise train noise, so descending the train
+            # loss REQUIRES denoising (MMSE estimator), matching
+            # convergence_sidd.run_denoise's recipe
+            rng = np.random.default_rng(1000 + ep)
+            xs = (clean + rng.normal(scale=NOISE_SIGMA, size=clean.shape)
+                  .astype(np.float32))
+            ys = clean
+            if channels_last:
+                xs = xs.transpose(0, 2, 3, 1).copy()
+                ys = ys.transpose(0, 2, 3, 1).copy()
         order = np.random.default_rng(ep).permutation(N_TRAIN)
         for s in range(n_steps):
             idx = order[s * BATCH:(s + 1) * BATCH]
@@ -111,6 +136,48 @@ def build(tag: str):
             use_flash=True, flash_train=True, flash_frozen_bn=True,
             attn_drop=0.0, proj_drop=0.0, input_skip=True,
             global_residual=True), False, 1e-3)
+    if tag == "vitunet-skip-fresh":
+        # control: the run_denoise recipe (input_skip + fresh noise/epoch)
+        # at probe budget
+        return probe(tag, get_vit_unet(
+            "lite", im_size=128, dtype="bfloat16", param_dtype="bfloat16",
+            use_flash=True, flash_train=True, flash_frozen_bn=True,
+            attn_drop=0.0, proj_drop=0.0, input_skip=True), False, 1e-3,
+            fresh_noise=True)
+    if tag == "vitunet-skip-head2":
+        # input skip + 2-block nonlinear conv head: the head can compute
+        # content-adaptive local filters instead of one linear 3x3
+        return probe(tag, get_vit_unet(
+            "lite", im_size=128, dtype="bfloat16", param_dtype="bfloat16",
+            use_flash=True, flash_train=True, flash_frozen_bn=True,
+            attn_drop=0.0, proj_drop=0.0, input_skip=True,
+            head_blocks=2, head_dim=32), False, 1e-3, fresh_noise=True)
+    if tag == "vitunet-skip-head3":
+        return probe(tag, get_vit_unet(
+            "lite", im_size=128, dtype="bfloat16", param_dtype="bfloat16",
+            use_flash=True, flash_train=True, flash_frozen_bn=True,
+            attn_drop=0.0, proj_drop=0.0, input_skip=True,
+            head_blocks=3, head_dim=48), False, 1e-3, fresh_noise=True)
+    if tag == "cnn-head-baseline":
+        # ablation: the SAME head (2x Conv3x3-32-GELU + Conv3x3) on the raw
+        # input alone, NO attention trunk — quantifies how much of
+        # vitunet-skip-head2's gain the trunk's context actually adds
+        from flax import linen as fnn
+
+        class HeadOnly(fnn.Module):
+            @fnn.compact
+            def __call__(self, x, *, deterministic=True,
+                         use_running_average=True):
+                h = x.transpose(0, 2, 3, 1)
+                h = fnn.gelu(fnn.Conv(32, (3, 3), padding="SAME",
+                                      dtype=jnp.bfloat16)(h))
+                h = fnn.gelu(fnn.Conv(32, (3, 3), padding="SAME",
+                                      dtype=jnp.bfloat16)(h))
+                return fnn.Conv(3, (3, 3), padding="SAME",
+                                dtype=jnp.bfloat16)(h).astype(
+                    jnp.float32).transpose(0, 3, 1, 2)
+
+        return probe(tag, HeadOnly(), False, 1e-3, fresh_noise=True)
     if tag == "tf-gain":
         return probe(tag, HViTUNetTF(HViTUNetTFConfig(
             img_size=128, dtype="bfloat16", param_dtype="bfloat16",

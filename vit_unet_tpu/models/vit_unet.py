@@ -81,6 +81,23 @@ class ViTUNetConfig:
                                      # attractor (CONVERGENCE.json,
                                      # docs/PERF.md "End-to-end training
                                      # behavior")
+    head_blocks: int = 0             # framework extension (not reference
+                                     # parity): number of (Conv 3x3
+                                     # head_dim, GELU) blocks inserted
+                                     # before the output conv.  With the
+                                     # default single 3x3 output conv the
+                                     # strongest pixel-local operator the
+                                     # head can express is ONE linear 3x3
+                                     # filter — tools/denoise_probe.py
+                                     # measured that ceiling at ~+0.7 dB on
+                                     # the SIDD recreation.  A short
+                                     # nonlinear conv stack lets the head
+                                     # compute content-adaptive local
+                                     # corrections (gated by the trunk's
+                                     # context features when combined with
+                                     # input_skip) without touching the
+                                     # attention trunk
+    head_dim: int = 32               # width of the head_blocks convs
     use_flash: bool = False          # Pallas fused attention path (eval)
     flash_train: bool = False        # ...and in training: in-kernel attn
                                      # dropout, exact batch-stats BN head-mix
@@ -206,8 +223,12 @@ class ViTUNet(nn.Module):
                 sp_min_tokens=cfg.sp_min_tokens, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]
         out_ch = cfg.out_channels or cfg.num_channels
+        if cfg.head_blocks:
+            self.head = [nn.Conv(cfg.head_dim, (3, 3), padding="SAME",
+                                 dtype=dt, param_dtype=pdt)
+                         for _ in range(cfg.head_blocks)]
         if (cfg.preprocessing == "conv" or out_ch != cfg.num_channels
-                or cfg.input_skip):
+                or cfg.input_skip or cfg.head_blocks):
             self.conv2d = nn.Conv(out_ch, (3, 3), padding="SAME",
                                   dtype=dt, param_dtype=pdt)
         if cfg.residual_gain:
@@ -252,8 +273,11 @@ class ViTUNet(nn.Module):
         if cfg.input_skip:
             out = jnp.concatenate([out, x], axis=1)
         if (cfg.preprocessing == "conv" or out_ch != cfg.num_channels
-                or cfg.input_skip):
-            out = self.conv2d(out.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+                or cfg.input_skip or cfg.head_blocks):
+            out = out.transpose(0, 2, 3, 1)
+            for conv in (self.head if cfg.head_blocks else ()):
+                out = nn.gelu(conv(out))
+            out = self.conv2d(out).transpose(0, 3, 1, 2)
         if cfg.global_residual:
             if cfg.residual_gain:
                 g = self.res_gain.astype(out.dtype)[None, :, None, None]
