@@ -89,13 +89,18 @@ def test_zero_sharding_optimizer_state(model_parallel):
         state = make_state(model, tx)
         steps = build_step_functions(model, tx, mse, mesh=mesh,
                                      zero_sharding=zero)
-        for _ in range(2):
+        for _ in range(3):
             state, m = steps.train_step(state, batch)
         return state, float(m["loss"])
 
+    # parameter parity after 3 steps (VERDICT r3 Next #8): the ZeRO update
+    # is pure sharding annotations, so the trajectory must be the
+    # replicated one to numerical tolerance
     state_z, loss_z = run(True)
     state_r, loss_r = run(False)
     assert np.isclose(loss_z, loss_r, rtol=1e-6)
+    assert (jax.tree_util.tree_structure(state_z.params)
+            == jax.tree_util.tree_structure(state_r.params))
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a, np.float32), np.asarray(b, np.float32),
         rtol=1e-6, atol=1e-7), state_z.params, state_r.params)
@@ -716,3 +721,69 @@ def test_two_process_distributed_dp_matches_single_process(tmp_path):
     ref_loss, ref_checksum = run_step(mesh, batch)
     np.testing.assert_allclose(results[0][0], ref_loss, rtol=2e-5)
     np.testing.assert_allclose(results[0][1], ref_checksum, rtol=2e-5)
+
+
+@pytest.mark.parametrize("bn_mode", ["frozen", "exact"])
+def test_sequence_parallel_midsize_training_default_on(bn_mode):
+    """Default-on mid-size SP TRAINING (VERDICT r3 Next #7): a 576-token
+    fine level (im 192 / patch 16 / depth 1 — above the 512-token bar)
+    sharded over model_parallel=4, flash train kernels, BOTH BN modes.
+
+    Asserts (a) the parameter gradients of an MSE training loss match the
+    unsharded model's, and (b) full sharded train steps run and reduce the
+    loss.  This is the per-commit guard for the long-context training claim
+    (SURVEY.md §5) that previously lived only behind VIT_UNET_RUN_SLOW.
+    """
+    from tests.conftest import cpu_devices
+
+    mesh = create_mesh(model_parallel=4, devices=cpu_devices(8)[:4])
+    flags = dict(use_flash=True, flash_train=True,
+                 flash_frozen_bn=(bn_mode == "frozen"))
+    cfg = dict(depth=1, depth_te=1, size_bottleneck=1, preprocessing="conv",
+               im_size=192, patch_size=16, num_channels=3, hidden_dim=32,
+               num_heads=4, attn_drop=0.0, proj_drop=0.0, linear_drop=0.0)
+    m_one = ViTUNet(ViTUNetConfig(**cfg, **flags))
+    m_sp = ViTUNet(ViTUNetConfig(**cfg, **flags, sequence_parallel=True,
+                                 sp_min_tokens=512), mesh=mesh)
+    assert m_sp.config.level_geometry(1)["num_patches"] == 576
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 3, 192, 192)).astype(np.float32))
+    y = x * 0.7
+    v = jax.jit(m_one.init)(jax.random.key(0), x[:1])
+
+    def loss_fn(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                deterministic=False, use_running_average=False,
+                rngs={"dropout": jax.random.key(1)},
+                mutable=["batch_stats"])
+            return mse(out, y)
+        return f
+
+    g_one = jax.grad(loss_fn(m_one))(v["params"])
+    g_sp = jax.jit(jax.grad(loss_fn(m_sp)))(v["params"])
+    flat_one = jax.tree_util.tree_leaves_with_path(g_one)
+    flat_sp = jax.tree.leaves(g_sp)
+    assert len(flat_one) == len(flat_sp)
+    for (path, go), gs in zip(flat_one, flat_sp):
+        go, gs = np.asarray(go, np.float64), np.asarray(gs, np.float64)
+        scale = max(1.0, np.abs(go).max())
+        np.testing.assert_allclose(
+            gs / scale, go / scale, rtol=5e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+    # full sharded train steps: loss decreases
+    tx = optax.adam(1e-3)
+    state = TrainState.create(params=v["params"], tx=tx,
+                              batch_stats=v.get("batch_stats", {}),
+                              rng=jax.random.key(2))
+    steps = build_step_functions(m_sp, tx, mse, mesh=mesh)
+    batch = {"x": x, "y": y}
+    losses = []
+    for _ in range(3):
+        state, m = steps.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
