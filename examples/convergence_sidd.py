@@ -1,7 +1,10 @@
 """Reference-task convergence: the SIDD denoising scenario of
 ``ViT_UNet_TF_TPU.ipynb`` cell 23 (BASELINE.md): 128² crops, global batch
 64, MSE, Adam 8e-6, 10 epochs, val PSNR — run on the reference's actual
-TPU model (HViT_UNet, TF orientation: Keras-style MHA, global residual).
+TPU model (HViT_UNet, TF orientation: Keras-style MHA, global residual),
+**on the flash training kernels** (``use_flash=True`` — KerasMHA's
+train-mode forward/backward rides the fused Pallas kernels, the same path
+``bench.py`` measures).
 
 The reference's measured numbers on real SIDD: val PSNR ≈ 25.90 dB after 10
 epochs, with probes (cell 25) noisy↔clean 20.39 dB / pred↔clean 20.67 dB /
@@ -15,26 +18,43 @@ calibrated to the reference's measured noisy↔clean 20.4 dB.  Runs:
 
   matched — the notebook recipe verbatim (Adam 8e-6, 10 epochs, notebook
             dropouts).  Approaches the identity attractor from the
-            random-init side; val PSNR climbs toward the noisy baseline.
+            random-init side; val PSNR climbs toward the noisy baseline —
+            note it is still BELOW the baseline when the budget ends
+            (strictly worse than outputting the input unchanged).
   ours    — stronger recipe (AdamW warmup-cosine 3e-4, grad clip, no
             dropout, 30 epochs).  Converges to a *numerically exact*
             identity: train MSE = σ² to three digits, val PSNR = the noisy
             baseline — quantitatively reproducing the reference's measured
             endpoint (its +0.28 dB over noisy is within probe noise).
+  denoise — the BEYOND-IDENTITY run (framework extensions, not reference
+            parity): flagship ViTUNet lite + ``input_skip`` (direct pixel
+            access at the output conv) + ``head_blocks=3`` (nonlinear conv
+            head), trained with the AWGN resampled on the same clean
+            content every epoch, so descending the train loss *requires*
+            denoising (the model cannot memorise the noise).  Fixed val
+            pairs.  Short probes (tools/denoise_probe.py) picked this
+            configuration: plain/gained residuals stay pinned at the
+            identity attractor, input_skip alone caps at the one-linear-
+            3×3-filter ceiling (~+0.7 dB), head_blocks=2/3 reach ~+8-9 dB.
 
-A third probe at 10 dB noise (σ=0.316) shows the same fixed point, ruling
-out a noise-level artifact: the identity is an architecture-level attractor
-(the residual branch's gradient at init points toward zeroing it, and the
-coordinated re-growth needed for real filtering is second order).  See
-docs/PERF.md "End-to-end training behavior".
+A probe at 10 dB noise (σ=0.316) shows the same identity fixed point for
+the reference model, ruling out a noise-level artifact: the identity is an
+architecture-level attractor (the residual branch's gradient at init points
+toward zeroing it, and the coordinated re-growth needed for real filtering
+is second order).  See docs/PERF.md "End-to-end training behavior".
 
-Writes CONVERGENCE.json at the repo root.
+Merges results into CONVERGENCE.json at the repo root (other sections —
+segmentation_demo, bn_oracle_probe — are preserved).
+
+Usage: python examples/convergence_sidd.py [matched] [ours] [denoise]
+(no args = all three).
 """
 from __future__ import annotations
 
 import json
 import math
 import os
+import sys
 import time
 
 import jax
@@ -47,6 +67,7 @@ import numpy as np
 import optax
 
 from vit_unet_tpu.models.hvit_unet_tf import HViTUNetTF, HViTUNetTFConfig
+from vit_unet_tpu.models.vit_unet import get_vit_unet
 from vit_unet_tpu.parallel.train_step import TrainState, build_step_functions
 from vit_unet_tpu.train.losses import mse
 from vit_unet_tpu.train.metrics import psnr, ssim
@@ -55,6 +76,9 @@ IM = 128
 N_TRAIN, N_VAL = 1280, 256          # the notebook's SIDD-1280 scale
 BATCH = 64
 NOISE_SIGMA = 0.0955                # calibrated: noisy<->clean ~ 20.4 dB
+
+CONVERGENCE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "CONVERGENCE.json")
 
 
 def clean_images(n: int, seed: int) -> np.ndarray:
@@ -88,7 +112,8 @@ def run(tag: str, tx, epochs: int, drops=None):
     kw = {} if drops is None else dict(drop_attn=drops, drop_proj=drops,
                                        drop_linear=drops)
     model = HViTUNetTF(HViTUNetTFConfig(
-        img_size=IM, dtype="bfloat16", param_dtype="bfloat16", **kw))
+        img_size=IM, dtype="bfloat16", param_dtype="bfloat16",
+        use_flash=True, **kw))
     xs, ys = make_pairs(N_TRAIN, 0)
     xv, yv = make_pairs(N_VAL, 777)
     # channels-last (the TF model's orientation, tf/model.py)
@@ -130,47 +155,162 @@ def run(tag: str, tx, epochs: int, drops=None):
               f"{vp:.2f} dB, SSIM {vsim:.4f}", flush=True)
     return {"tag": tag, "noisy_val_psnr_db": round(noisy_psnr, 2),
             "noise_var": round(NOISE_SIGMA ** 2, 5), "epochs": epochs,
+            "kernel_path": "flash (use_flash=True, KerasMHA train kernels)",
             "history": hist,
             "best_val_psnr_db": max(h["val_psnr"] for h in hist),
             "best_val_ssim": max(h["val_ssim"] for h in hist),
             "wall_s": round(time.time() - t0, 1)}
 
 
-def main():
-    results = {
-        "scenario": ("SIDD 128^2 denoising recreation on the reference's "
-                     "actual TPU model (HViT_UNet TF), synthetic AWGN at "
-                     "the reference's measured noisy<->clean 20.4 dB "
-                     "(BASELINE.md; ViT_UNet_TF_TPU.ipynb cells 23/25)"),
-        "reference": {"val_psnr_db": 25.90, "pred_vs_noisy_db": 37.41,
-                      "noisy_vs_clean_db": 20.39,
-                      "reading": ("pred==input identity: 25.90 dB is the "
-                                  "val set's own noisy<->clean level")},
-        "runs": [],
-    }
-    results["runs"].append(
-        run("matched-recipe", optax.adam(8e-6), 10))
+def run_denoise(epochs: int = 40, head_blocks: int = 3, head_dim: int = 48,
+                peak_lr: float = 1e-3):
+    """The beyond-identity run: train the flagship ViTUNet (lite preset,
+    flash train kernels) with input_skip + a nonlinear conv head, AWGN
+    resampled per epoch, until val PSNR clears the noisy baseline."""
+    model = get_vit_unet(
+        "lite", im_size=IM, dtype="bfloat16", param_dtype="bfloat16",
+        use_flash=True, flash_train=True, flash_frozen_bn=True,
+        attn_drop=0.0, proj_drop=0.0, input_skip=True,
+        head_blocks=head_blocks, head_dim=head_dim)
+    clean = clean_images(N_TRAIN, 0)
+    xv, yv = make_pairs(N_VAL, 777)             # fixed val pairs, fixed noise
+    noisy_psnr = float(np.mean([
+        10 * math.log10(1.0 / max(np.mean((a - b) ** 2), 1e-12))
+        for a, b in zip(xv, yv)]))
+
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, 3e-4, 50, 30 * (N_TRAIN // BATCH))
-    results["runs"].append(
-        run("ours", optax.chain(optax.clip_by_global_norm(1.0),
-                                optax.adamw(sched)), 30, drops=0.0))
-    results["analysis"] = (
-        "Both recipes converge to the identity attractor: 'ours' reaches "
-        "train MSE == noise variance and val PSNR == the noisy baseline "
-        "exactly — the same endpoint the reference measured on real SIDD "
-        "(pred-vs-noisy 37.41 dB; its val PSNR 'gain' over noisy was "
-        "+0.28 dB).  A 10 dB-noise probe reproduces the same fixed point, "
-        "so this is the architecture's property (dying global-residual "
-        "branch), not a noise-level or framework artifact.  Parity with "
-        "the reference's training outcome is therefore exact at matched "
-        "difficulty; exceeding 25.90 dB absolute is a property of its val "
-        "set's noise level, not of the model.")
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "CONVERGENCE.json"), "w") as f:
+        0.0, peak_lr, 50, epochs * (N_TRAIN // BATCH))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 3, IM, IM)))
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.key(1))
+    steps = build_step_functions(model, tx, mse,
+                                 metrics={"psnr": psnr, "ssim": ssim})
+    n_steps = N_TRAIN // BATCH
+    t0 = time.time()
+    hist = []
+    tag = f"denoise-head{head_blocks}"
+    for ep in range(epochs):
+        # resample the AWGN on the same clean content each epoch: the
+        # training pairs change while the signal stays, so the only way to
+        # keep lowering the train MSE is to estimate the clean image
+        # (MMSE denoiser) — memorising any one epoch's noise is useless
+        rng = np.random.default_rng(1000 + ep)
+        xs = (clean + rng.normal(scale=NOISE_SIGMA, size=clean.shape)
+              .astype(np.float32))
+        order = np.random.default_rng(ep).permutation(N_TRAIN)
+        for s in range(n_steps):
+            idx = order[s * BATCH:(s + 1) * BATCH]
+            state, m = steps.train_step(
+                state, {"x": jnp.asarray(xs[idx]),
+                        "y": jnp.asarray(clean[idx])})
+        train_loss = float(m["loss"])
+        vs = []
+        for s in range(N_VAL // BATCH):
+            sl = slice(s * BATCH, (s + 1) * BATCH)
+            em = steps.eval_step(state, {"x": jnp.asarray(xv[sl]),
+                                         "y": jnp.asarray(yv[sl])})
+            vs.append((float(em["psnr"]), float(em["ssim"])))
+        vp = float(np.mean([v[0] for v in vs]))
+        vsim = float(np.mean([v[1] for v in vs]))
+        hist.append({"epoch": ep + 1, "train_loss": round(train_loss, 5),
+                     "val_psnr": round(vp, 3), "val_ssim": round(vsim, 4)})
+        print(f"[{tag}] epoch {ep+1}: train {train_loss:.5f}, val PSNR "
+              f"{vp:.2f} dB (noisy {noisy_psnr:.2f}), SSIM {vsim:.4f}",
+              flush=True)
+    noisy_ssim = float(np.mean([float(jax.jit(ssim)(
+        jnp.asarray(xv[s * BATCH:(s + 1) * BATCH]),
+        jnp.asarray(yv[s * BATCH:(s + 1) * BATCH])))
+        for s in range(N_VAL // BATCH)]))
+    best = max(h["val_psnr"] for h in hist)
+    return {
+        "tag": tag,
+        "scenario": ("the same 128^2 synthetic-SIDD recreation, flagship "
+                     "ViTUNet lite on the flash TRAIN kernels, with the "
+                     "documented framework extensions input_skip + "
+                     f"head_blocks={head_blocks} (head_dim={head_dim}); "
+                     "AWGN resampled per epoch on fixed clean content "
+                     "(anti-memorisation), fixed val pairs"),
+        "recipe": {"model": "lite + input_skip + head_blocks="
+                            f"{head_blocks}, head_dim={head_dim}, "
+                            "use_flash+flash_train+flash_frozen_bn, "
+                            "bf16 params/compute, dropout 0",
+                   "optimizer": f"AdamW warmup-cosine peak {peak_lr}, "
+                                "50-step warmup, grad clip 1.0",
+                   "batch": BATCH, "epochs": epochs,
+                   "noise": "AWGN sigma=0.0955 resampled each epoch "
+                            "(train); fixed (val)"},
+        "noisy_val_psnr_db": round(noisy_psnr, 2),
+        "noisy_val_ssim": round(noisy_ssim, 4),
+        "epochs": epochs,
+        "history": hist,
+        "best_val_psnr_db": best,
+        "best_val_ssim": max(h["val_ssim"] for h in hist),
+        "gain_db_over_noisy": round(best - noisy_psnr, 2),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def merge_into_convergence(update: dict):
+    results = {}
+    if os.path.exists(CONVERGENCE_PATH):
+        with open(CONVERGENCE_PATH) as f:
+            results = json.load(f)
+    results.update(update)
+    with open(CONVERGENCE_PATH, "w") as f:
         json.dump(results, f, indent=1)
-    print(json.dumps({r["tag"]: r["best_val_psnr_db"]
-                      for r in results["runs"]}))
+
+
+def main():
+    which = set(sys.argv[1:]) or {"matched", "ours", "denoise"}
+    update: dict = {}
+    runs = []
+    if {"matched", "ours"} & which:
+        update["scenario"] = (
+            "SIDD 128^2 denoising recreation on the reference's actual TPU "
+            "model (HViT_UNet TF), flash train kernels, synthetic AWGN at "
+            "the reference's measured noisy<->clean 20.4 dB (BASELINE.md; "
+            "ViT_UNet_TF_TPU.ipynb cells 23/25)")
+        update["reference"] = {
+            "val_psnr_db": 25.90, "pred_vs_noisy_db": 37.41,
+            "noisy_vs_clean_db": 20.39,
+            "reading": ("pred==input identity: 25.90 dB is the val set's "
+                        "own noisy<->clean level")}
+    if "matched" in which:
+        runs.append(run("matched-recipe", optax.adam(8e-6), 10))
+    if "ours" in which:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, 3e-4, 50, 30 * (N_TRAIN // BATCH))
+        runs.append(run("ours", optax.chain(optax.clip_by_global_norm(1.0),
+                                            optax.adamw(sched)), 30,
+                        drops=0.0))
+    if runs:
+        update["runs"] = runs
+        update["analysis"] = (
+            "Both reference-parity recipes converge to the identity "
+            "attractor: 'ours' reaches train MSE == noise variance and val "
+            "PSNR == the noisy baseline exactly — the same endpoint the "
+            "reference measured on real SIDD (pred-vs-noisy 37.41 dB; its "
+            "val PSNR 'gain' over noisy was +0.28 dB).  The matched-recipe "
+            "run ends BELOW the baseline (strictly worse than outputting "
+            "the input unchanged at that budget).  A 10 dB-noise probe "
+            "reproduces the same fixed point, so this is the architecture's "
+            "property (dying global-residual branch), not a noise-level or "
+            "framework artifact.  Parity with the reference's training "
+            "outcome is therefore exact at matched difficulty; the "
+            "beyond-identity denoise run (denoise_beyond_identity) is "
+            "where this framework exceeds it.")
+    if "denoise" in which:
+        update["denoise_beyond_identity"] = run_denoise()
+    merge_into_convergence(update)
+    summary = {r["tag"]: r["best_val_psnr_db"] for r in runs}
+    if "denoise_beyond_identity" in update:
+        d = update["denoise_beyond_identity"]
+        summary[d["tag"]] = d["best_val_psnr_db"]
+        summary["gain_db_over_noisy"] = d["gain_db_over_noisy"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
