@@ -375,3 +375,91 @@ def test_flash_frozen_bn_flag():
     assert np.abs(np.asarray(upd_exact["batch_stats"]["var_norm"]["var"])
                   - np.asarray(variables["batch_stats"]["var_norm"]["var"])
                   ).max() > 0
+
+
+class TestBNTrackMode:
+    """Tracking-BN train mode (``ReAttention(bn_track=True)``): frozen-stat
+    forward + running averages updating toward each batch's own moments —
+    the warmup that makes the exact batch-stats semantics reachable without
+    the hard-flip normalisation shock (CONVERGENCE.json segmentation_demo
+    bn-hard-flip)."""
+
+    def _mk(self, **kw):
+        from vit_unet_tpu.nn.reattention import ReAttention
+        return ReAttention(dim=192, num_heads=4, attn_drop=0.0,
+                           proj_drop=0.0, **kw)
+
+    def _run(self, m, v, x, ura):
+        out, upd = m.apply(v, x, deterministic=False,
+                           use_running_average=ura,
+                           mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.key(2)})
+        return out, upd["batch_stats"]
+
+    def test_track_semantics_xla(self):
+        x = jax.random.normal(jax.random.key(0), (2, 256, 192), jnp.float32)
+        m_plain, m_track = self._mk(), self._mk(bn_track=True)
+        v = m_plain.init(jax.random.key(1), x)
+
+        out_frozen, bs_frozen = self._run(m_plain, v, x, True)
+        out_track, bs_track = self._run(m_track, v, x, False)
+        out_exact, bs_exact = self._run(m_plain, v, x, False)
+
+        # forward = frozen numerics, EMA update = the exact mode's
+        np.testing.assert_allclose(np.asarray(out_track),
+                                   np.asarray(out_frozen), atol=1e-6)
+        for a, b in zip(jax.tree.leaves(bs_track), jax.tree.leaves(bs_exact)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+        # ...and the stats really moved off init (frozen leaves them alone)
+        init_leaves = jax.tree.leaves(v["batch_stats"])
+        assert all(np.array_equal(a, b) for a, b in
+                   zip(jax.tree.leaves(bs_frozen), init_leaves))
+        assert any(not np.array_equal(a, b) for a, b in
+                   zip(jax.tree.leaves(bs_track), init_leaves))
+
+    def test_track_gradients_are_frozen_mode_gradients(self):
+        x = jax.random.normal(jax.random.key(0), (2, 256, 192), jnp.float32)
+        m_plain, m_track = self._mk(), self._mk(bn_track=True)
+        v = m_plain.init(jax.random.key(1), x)
+
+        def grads(m, ura):
+            def f(p):
+                out, _ = m.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]}, x,
+                    deterministic=False, use_running_average=ura,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(2)})
+                return jnp.sum(out ** 2)
+            return jax.grad(f)(v["params"])
+
+        g_track, g_frozen = grads(m_track, False), grads(m_plain, True)
+        for a, b in zip(jax.tree.leaves(g_track), jax.tree.leaves(g_frozen)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_track_flash_matches_xla(self):
+        # interpret-mode kernels on CPU (rate=0: in-kernel PRNG not needed)
+        x = jax.random.normal(jax.random.key(0), (2, 256, 192), jnp.float32)
+        m_track = self._mk(bn_track=True)
+        m_flash = self._mk(bn_track=True, use_flash=True, flash_train=True)
+        v = m_track.init(jax.random.key(1), x)
+        out_x, bs_x = self._run(m_track, v, x, False)
+        out_f, bs_f = self._run(m_flash, v, x, False)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                                   atol=2e-5)
+        for a, b in zip(jax.tree.leaves(bs_f), jax.tree.leaves(bs_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_track_sp_guard(self):
+        from tests.conftest import cpu_devices
+        from vit_unet_tpu.parallel.mesh import create_mesh
+        mesh = create_mesh(model_parallel=2, devices=cpu_devices(8)[:2])
+        m = self._mk(bn_track=True, sequence_parallel=True, sp_mesh=mesh,
+                     sp_min_tokens=128)
+        x = jax.random.normal(jax.random.key(0), (2, 256, 192), jnp.float32)
+        v = m.init(jax.random.key(1), x)
+        with pytest.raises(NotImplementedError, match="bn_track"):
+            m.apply(v, x, deterministic=False, use_running_average=False,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.key(2)})

@@ -589,3 +589,107 @@ def test_bn_freeze_epochs_warmup(tmp_path):
         flash_frozen_bn=True))
     with pytest.raises(ValueError, match="bn_freeze_epochs"):
         Fitter(frozen_model, bn_freeze_epochs=1)
+
+
+def test_inject_hyperparams_bf16_regression(tmp_path):
+    """bf16 params + the Fitter's inject_hyperparams(adamw) optimizer: by
+    default optax canonicalises hyperparams toward the params' dtype and
+    b2=0.999 rounds to bf16(1.0), so the Adam bias correction divides by
+    zero and every update is NaN after the first step (found on the TPU).
+    The Fitter pins hyperparam_dtype=float32; updates must stay finite."""
+    model = ViTUNet(ViTUNetConfig(
+        depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+        im_size=32, patch_size=8, num_channels=3, hidden_dim=16, num_heads=2,
+        attn_drop=0.0, proj_drop=0.0, linear_drop=0.0,
+        dtype="bfloat16", param_dtype="bfloat16"))
+    fitter = Fitter(model, learning_rate=3e-3, loss="mse", metrics=(),
+                    checkpoint_dir=str(tmp_path))
+    ds = SyntheticDenoise(n=8)
+    dl = batches(ds, bs=4)
+    h = fitter.fit(lambda: iter(dl), n_epochs=2, verbose=False,
+                   save_best=False)
+    assert np.isfinite(h["loss"]).all(), h["loss"]
+    assert all(np.isfinite(np.asarray(p, np.float32)).all()
+               for p in jax.tree.leaves(fitter.state.params))
+
+
+class TestBNRefold:
+    """Stat-matched BN refold (train/bn_refold.py): the frozen→exact-BN
+    flip preserves the forward function exactly."""
+
+    def _model_and_vars(self, **cfg_kw):
+        model = ViTUNet(ViTUNetConfig(
+            depth=1, depth_te=1, size_bottleneck=1, preprocessing="none",
+            im_size=32, patch_size=8, num_channels=3, hidden_dim=16,
+            num_heads=2, attn_drop=0.0, proj_drop=0.0, linear_drop=0.0,
+            **cfg_kw))
+        x = jax.random.normal(jax.random.key(0), (4, 3, 32, 32))
+        variables = model.init(jax.random.key(1), x)
+        return model, variables, x
+
+    def test_refold_preserves_function(self):
+        from vit_unet_tpu.train.bn_refold import bn_refold, estimate_bn_moments
+        model, variables, x = self._model_and_vars()
+        # de-trivialise the BN affine so the refold formulas are exercised
+        from flax import traverse_util
+        pflat = traverse_util.flatten_dict(variables["params"])
+        for k in list(pflat):
+            if k[-2] == "var_norm":
+                key = jax.random.key(hash(k) % (2 ** 31))
+                pflat[k] = pflat[k] + 0.3 * jax.random.normal(
+                    key, pflat[k].shape, pflat[k].dtype)
+        params = traverse_util.unflatten_dict(pflat)
+        variables = {"params": params,
+                     "batch_stats": variables["batch_stats"]}
+
+        frozen_out = model.apply(variables, x, deterministic=True,
+                                 use_running_average=True)
+        moments = estimate_bn_moments(model, variables, [x])
+        assert moments, "no reatten_matrix intermediates captured"
+        p2, b2 = bn_refold(variables["params"], variables["batch_stats"],
+                           moments, eps=model.config.attn_bn_eps)
+        refolded = {"params": p2, "batch_stats": b2}
+        # exact batch-stats forward on the SAME batch == frozen forward
+        exact_out, _ = model.apply(refolded, x, deterministic=True,
+                                   use_running_average=False,
+                                   mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(exact_out),
+                                   np.asarray(frozen_out),
+                                   atol=5e-5, rtol=1e-4)
+        # eval semantics (running averages = the measured moments) too
+        eval_out = model.apply(refolded, x, deterministic=True,
+                               use_running_average=True)
+        np.testing.assert_allclose(np.asarray(eval_out),
+                                   np.asarray(frozen_out),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_refold_no_bn_raises(self):
+        from vit_unet_tpu.train.bn_refold import bn_refold
+        with pytest.raises(ValueError, match="no var_norm"):
+            bn_refold({"dense": {"kernel": jnp.ones((2, 2))}}, {}, {}, 1e-5)
+
+    def test_fitter_refold_flip(self, tmp_path):
+        """Fitter(bn_warmup='refold'): frozen epochs leave stats untouched,
+        the flip refolds (stats move to the measured moments, optimizer
+        state resets) and training continues finitely in exact semantics."""
+        ds = SyntheticDenoise(n=8)
+        fitter = small_fitter(tmp_path, bn_freeze_epochs=1,
+                              bn_warmup="refold", bn_calib_batches=2)
+        dl = batches(ds, bs=4)
+        fitter.init_state(next(iter(dl)))
+        stats0 = jax.tree.map(np.asarray, fitter.state.batch_stats)
+
+        fitter.fit(lambda: iter(dl), n_epochs=1, verbose=False,
+                   save_best=False)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            a, np.asarray(b)), stats0, fitter.state.batch_stats)
+
+        h = fitter.fit(lambda: iter(dl), n_epochs=3, initial_epoch=1,
+                       verbose=False, save_best=False)
+        assert np.isfinite(h["loss"]).all()
+        leaves1 = [np.asarray(v) for v in
+                   jax.tree.leaves(fitter.state.batch_stats)]
+        assert any(not np.array_equal(a, b) for a, b in
+                   zip(jax.tree.leaves(stats0), leaves1)), \
+            "refold must move the running stats to the measured moments"
+        assert int(fitter.state.step) > 0

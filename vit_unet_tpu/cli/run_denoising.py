@@ -64,6 +64,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--log_jsonl", type=str, default=None)
+    p.add_argument("--bn_freeze_epochs", type=int, default=0,
+                   help="frozen-BN warmup epochs before flipping to exact "
+                        "batch-stats BN (see Fitter docstring)")
+    p.add_argument("--bn_warmup", type=str, default="refold",
+                   choices=("refold", "freeze", "track"),
+                   help="what happens at the warmup flip: 'refold' is the "
+                        "stat-matched function-preserving flip "
+                        "(train/bn_refold.py)")
     return p
 
 
@@ -124,7 +132,9 @@ def main(argv=None) -> dict:
                         loss=loss, metrics=task["metrics"], mesh=mesh,
                         scale_lr_by_replicas=args.data_parallel,
                         checkpoint_dir=os.path.join(args.checkpoint_dir,
-                                                    f"fold{fold}"))
+                                                    f"fold{fold}"),
+                        bn_freeze_epochs=args.bn_freeze_epochs,
+                        bn_warmup=args.bn_warmup)
         callbacks = [ReduceLROnPlateau()]
         if args.log_jsonl:
             callbacks.append(JSONLLogger(args.log_jsonl))

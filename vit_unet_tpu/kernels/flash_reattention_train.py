@@ -931,3 +931,39 @@ def _bn_vjp_bwd(num_heads, rate, block_q, block_k, interpret, eps,
 
 
 flash_reattention_train_bn.defvjp(_bn_vjp_fwd, _bn_vjp_bwd)
+
+
+def flash_bn_batch_moments(q, k, v_cat, conv_m, conv_c, seed, num_heads,
+                           rate=0.0, block_q=128, block_k=128,
+                           interpret=False, psum_axes=None, cnt=None):
+    """Batch moments (μ, σ²) of the head-mixed attention map, WITHOUT
+    normalising with them — the stats half of ``flash_reattention_train_bn``
+    on its own (same ``_bn_fwd`` sweep + closed-form moment assembly; the
+    N×N map never touches HBM).
+
+    Used by the BN *tracking* train mode (``ReAttention(bn_track=True)``):
+    the forward normalises with the running statistics (the frozen kernel),
+    while the running averages are updated toward each batch's own moments
+    so a later flip to exact batch-stats semantics
+    (``flash_reattention_train_bn``) is a continuous change of the forward
+    function instead of a normalisation shock.  See docs/PERF.md
+    "End-to-end training behavior".
+
+    NOT differentiable (``_bn_fwd`` is a raw pallas_call with no VJP) — the
+    caller must wrap the call in ``jax.lax.stop_gradient``/``stop_gradient``
+    on the inputs; the tracking EMA update is semantically a non-gradient
+    side channel anyway (flax BatchNorm's own running updates are also
+    outside the gradient).
+
+    ``rate``/``seed`` must match the paired forward call so the moments are
+    those of the same dropout-masked probabilities the forward used.
+    """
+    batch, heads, n, dh = q.shape
+    if cnt is None:
+        cnt = batch * n * k.shape[2]
+    s_rows, c_rows, _, _, _ = _bn_fwd(
+        q, k, v_cat, seed, num_heads=num_heads, rate=rate,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+    mu, var, _, _ = _bn_moments(s_rows, c_rows, conv_m, conv_c, cnt,
+                                psum_axes)
+    return mu, var

@@ -105,6 +105,12 @@ class ViTUNetConfig:
     flash_frozen_bn: bool = False    # fast training mode: freeze the head-
                                      # mix BN at running stats (~10-20% faster,
                                      # no running-average updates)
+    bn_track: bool = False           # tracking train mode: normalise with
+                                     # running stats, update them toward each
+                                     # batch's moments — the warmup that makes
+                                     # a later flip to exact batch-stats BN a
+                                     # continuous change (nn/reattention.py
+                                     # bn_track; Fitter(bn_warmup='track'))
     attn_bn_eps: float = 1e-5        # head-mix BatchNorm eps.  1e-5 = torch
                                      # reference parity (never trained there);
                                      # 1e-3 (Keras default, the reference's
@@ -199,7 +205,8 @@ class ViTUNet(nn.Module):
                 proj_drop=cfg.proj_drop, linear_drop=cfg.linear_drop,
                 qkv_kernel=cfg.qkv_kernel, ln_mode=cfg.ln_mode,
                 use_flash=cfg.use_flash, flash_train=cfg.flash_train,
-                flash_frozen_bn=cfg.flash_frozen_bn, bn_eps=cfg.attn_bn_eps,
+                flash_frozen_bn=cfg.flash_frozen_bn, bn_track=cfg.bn_track,
+                bn_eps=cfg.attn_bn_eps,
                 sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
                 sp_min_tokens=cfg.sp_min_tokens,
                 dtype=dt, param_dtype=pdt)
@@ -218,7 +225,8 @@ class ViTUNet(nn.Module):
                 qkv_kernel=cfg.qkv_kernel, attn_drop=cfg.attn_drop,
                 proj_drop=cfg.proj_drop, use_flash=cfg.use_flash,
                 flash_train=cfg.flash_train,
-                flash_frozen_bn=cfg.flash_frozen_bn, bn_eps=cfg.attn_bn_eps,
+                flash_frozen_bn=cfg.flash_frozen_bn, bn_track=cfg.bn_track,
+                bn_eps=cfg.attn_bn_eps,
                 sequence_parallel=cfg.sequence_parallel, sp_mesh=self.mesh,
                 sp_min_tokens=cfg.sp_min_tokens, dtype=dt, param_dtype=pdt)
             for lvl in range(cfg.depth)]

@@ -36,6 +36,7 @@ class ReAttentionEncoderBlock(nn.Module):
     use_flash: bool = False
     flash_train: bool = False
     flash_frozen_bn: bool = False
+    bn_track: bool = False
     sequence_parallel: bool = False
     sp_mesh: Optional[object] = None
     sp_min_tokens: int = 1024
@@ -50,7 +51,7 @@ class ReAttentionEncoderBlock(nn.Module):
             num_heads=self.num_heads, qkv_kernel=self.qkv_kernel,
             attn_drop=self.attn_drop, proj_drop=self.proj_drop,
             use_flash=self.use_flash, flash_train=self.flash_train,
-            flash_frozen_bn=self.flash_frozen_bn,
+            flash_frozen_bn=self.flash_frozen_bn, bn_track=self.bn_track,
             sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
             sp_min_tokens=self.sp_min_tokens,
             bn_axis_name=self.bn_axis_name, bn_eps=self.bn_eps,

@@ -118,6 +118,20 @@ class ReAttention(nn.Module):
                                # running statistics during training (~10-20%
                                # faster; round-1 headline semantics, no
                                # running-average updates)
+    bn_track: bool = False     # TRACKING train mode: the forward normalises
+                               # with the RUNNING statistics (frozen-BN
+                               # numerics) while the running averages keep
+                               # updating toward each batch's own moments
+                               # (stop-gradient side channel).  Batch-renorm-
+                               # style warmup for the exact batch-stats
+                               # semantics: after tracking, running ≈ batch
+                               # stats, so flipping to use_running_average=
+                               # False is a continuous change of the forward
+                               # instead of a normalisation shock (the hard
+                               # frozen→exact flip destroys the solution —
+                               # CONVERGENCE.json segmentation_demo
+                               # bn-hard-flip).  Applies when training
+                               # (use_running_average=False); eval unchanged.
     sequence_parallel: bool = False  # shard the token axis over sp_axis and
                                      # all-gather K/V over ICI per layer
                                      # (parallel/sequence.py); train + eval
@@ -365,6 +379,30 @@ class ReAttention(nn.Module):
                 (q * self.scale).astype(self.dtype), k.astype(self.dtype),
                 v_cat, m_eff, c_eff, seed, self.num_heads, rate,
                 blk, blk, interp)
+        if self.bn_track:
+            # tracking mode: frozen-stat forward (differentiable), plus a
+            # stop-gradient stats sweep feeding the running-average EMA —
+            # same dropout seed, so the moments are those of the masked
+            # probabilities the forward used
+            from vit_unet_tpu.kernels.flash_reattention_train import (
+                flash_bn_batch_moments)
+            m_eff, c_eff = self._folded_compact()
+            out = flash_reattention_train(
+                (q * self.scale).astype(self.dtype), k.astype(self.dtype),
+                v_cat, m_eff, c_eff, seed, self.num_heads, rate,
+                blk, blk, interp)
+            cp = self.reatten_matrix.variables["params"]
+            sg = jax.lax.stop_gradient
+            mu, var = flash_bn_batch_moments(
+                sg((q * self.scale).astype(self.dtype)),
+                sg(k.astype(self.dtype)), sg(v_cat),
+                sg(cp["kernel"].reshape(self.num_heads, self.num_heads).T),
+                sg(cp["bias"]), seed, self.num_heads, rate, blk, blk, interp)
+            s = jnp.sqrt(jnp.maximum(var, 0.0))
+            stat = jnp.stack([mu - s, mu + s])[:, None, None, :]
+            _ = self.var_norm(sg(stat.astype(self.dtype)),
+                              use_running_average=False)
+            return out
         # touch both layers so the param tree matches the XLA path
         dummy = jnp.zeros((1, 1, 1, self.num_heads), self.dtype)
         _ = self.var_norm(self.reatten_matrix(dummy), use_running_average=True)
@@ -435,6 +473,11 @@ class ReAttention(nn.Module):
         running-stats affine; training runs dropout + batch-stats BN with
         cross-shard psums, then feeds the exact batch statistics back into
         ``var_norm``'s running averages."""
+        if self.bn_track and not use_running_average:
+            raise NotImplementedError(
+                "bn_track (tracking-BN warmup) is not wired into the "
+                "sequence-parallel path yet — train the warmup phase "
+                "without sequence_parallel, or use frozen/exact BN under SP")
         from vit_unet_tpu.parallel.sequence import (
             sequence_parallel_reattention, sequence_parallel_reattention_train)
 
@@ -518,7 +561,17 @@ class ReAttention(nn.Module):
             # ((B, N, M, H)) so the head axis is the feature axis.
             a = attn.transpose(0, 2, 3, 1)
             a = self.reatten_matrix(a)
-            a = self.var_norm(a, use_running_average=use_running_average)
+            track = self.bn_track and not use_running_average
+            a_n = self.var_norm(
+                a, use_running_average=use_running_average or track)
+            if track:
+                # tracking EMA side channel: the forward above used the
+                # running stats; update them toward this batch's moments
+                # (output discarded, gradients stopped) — same semantics as
+                # the flash-path flash_bn_batch_moments update
+                _ = self.var_norm(jax.lax.stop_gradient(a),
+                                  use_running_average=False)
+            a = a_n
             attn = a.transpose(0, 3, 1, 2)
             reatten_scale = self.scale if self.transform_scale else 1.0
             attn = attn * reatten_scale
@@ -551,6 +604,7 @@ class SkipConnection(nn.Module):
     use_flash: bool = False
     flash_train: bool = False
     flash_frozen_bn: bool = False
+    bn_track: bool = False
     sequence_parallel: bool = False
     sp_mesh: Optional[jax.sharding.Mesh] = None
     sp_min_tokens: int = 1024
@@ -574,7 +628,7 @@ class SkipConnection(nn.Module):
             proj_drop=self.proj_drop, apply_transform=True,
             transform_scale=self.transform_scale, qkv_gelu=self.qkv_gelu,
             use_flash=self.use_flash, flash_train=self.flash_train,
-            flash_frozen_bn=self.flash_frozen_bn,
+            flash_frozen_bn=self.flash_frozen_bn, bn_track=self.bn_track,
             sequence_parallel=self.sequence_parallel, sp_mesh=self.sp_mesh,
             sp_min_tokens=self.sp_min_tokens,
             bn_axis_name=self.bn_axis_name, bn_eps=self.bn_eps,

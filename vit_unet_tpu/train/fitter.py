@@ -65,6 +65,8 @@ class Fitter:
         dispatch_depth: int = 8,
         zero_sharding: bool = False,
         bn_freeze_epochs: int = 0,
+        bn_warmup: str = "freeze",
+        bn_calib_batches: int = 4,
     ):
         """``gradient_clip_norm``: global-norm clipping before the optimizer
         update.  ``grad_accum_steps > 1``: accumulate that many micro-batch
@@ -95,9 +97,37 @@ class Fitter:
         so features form, then training flips to exact batch-stats
         semantics for the remaining epochs.  Same model, same parameter
         tree; eval semantics are identical in both phases (running
-        averages)."""
+        averages).
+
+        ``bn_warmup`` selects what happens at the flip:
+
+        * ``'refold'`` (recommended) — stat-matched refold: at the flip,
+          measure each head-mix BN's batch moments under the current
+          parameters and fold them into the BN affine + running statistics
+          (``train.bn_refold``) so the exact-semantics forward computes
+          exactly the function the frozen phase trained — no normalisation
+          shock.  The optimizer state is re-initialised at the flip (the
+          refolded BN scales change by orders of magnitude, so stale Adam
+          moments would mis-size their first updates).  Calibration reads
+          the first ``bn_calib_batches`` batches of the flip epoch (they
+          are still trained on).
+        * ``'freeze'`` — hard flip (kept as the explicit/legacy mode): the
+          running stats never moved during the frozen phase, so the flip is
+          a documented normalisation shock (CONVERGENCE.json
+          segmentation_demo ``bn-hard-flip``).
+        * ``'track'`` — tracking warmup: warmup epochs normalise with the
+          running stats while updating them toward each batch's moments
+          (``ViTUNetConfig.bn_track``), so the flip is continuous; the
+          drift toward near-degenerate attention-map moments during warmup
+          makes this train like exact-BN (poorly) — shipped for
+          completeness and negative-control experiments."""
         self.model = model
         self.bn_freeze_epochs = int(bn_freeze_epochs)
+        self.bn_calib_batches = int(bn_calib_batches)
+        if bn_warmup not in ("freeze", "track", "refold"):
+            raise ValueError(f"bn_warmup must be 'freeze', 'track' or "
+                             f"'refold', got {bn_warmup!r}")
+        self.bn_warmup = bn_warmup
         if (self.bn_freeze_epochs > 0
                 and getattr(getattr(model, "config", None),
                             "flash_frozen_bn", False)):
@@ -105,6 +135,13 @@ class Fitter:
                 "bn_freeze_epochs is a frozen→batch-stats warmup; the model "
                 "is already permanently frozen (flash_frozen_bn=True) so "
                 "there is nothing to flip to")
+        if self.bn_warmup == "track" and self.bn_freeze_epochs > 0:
+            cfg = getattr(model, "config", None)
+            if cfg is None or not hasattr(cfg, "bn_track"):
+                raise ValueError(
+                    "bn_warmup='track' needs a model whose config carries "
+                    "bn_track (ViTUNetConfig); use bn_warmup='freeze' for "
+                    "other models")
         self.zero_sharding = zero_sharding
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
@@ -115,7 +152,13 @@ class Fitter:
             opt_fn = {"adam": optax.adam, "adamw": optax.adamw,
                       "sgd": optax.sgd}[optimizer]
             kwargs = {"weight_decay": weight_decay} if optimizer == "adamw" else {}
-            self.tx = optax.inject_hyperparams(opt_fn)(
+            # hyperparam_dtype MUST be pinned: by default inject_hyperparams
+            # canonicalises hyperparams toward the params' dtype, and under
+            # bf16 params b2=0.999 rounds to bf16(1.0) — the Adam bias
+            # correction divides by (1 - b2^t) = 0 and every update is NaN
+            # after the first step (found driving bf16 lite on the TPU)
+            self.tx = optax.inject_hyperparams(
+                opt_fn, hyperparam_dtype=jnp.float32)(
                 learning_rate=learning_rate, **kwargs)
             self._injectable = True
         else:
@@ -151,14 +194,32 @@ class Fitter:
             self.model, self.tx, self.loss_fn, mesh=self.mesh,
             metrics=self.metric_fns, zero_sharding=self.zero_sharding)
         if self.bn_freeze_epochs > 0:
-            # same model and parameter tree, frozen-BN train semantics
-            # (use_running_average=True inside the train step); used for the
-            # first bn_freeze_epochs epochs — eval always runs
-            # running-average semantics via self.steps
-            self._frozen_steps = build_step_functions(
-                self.model, self.tx, self.loss_fn, mesh=self.mesh,
-                metrics=self.metric_fns, zero_sharding=self.zero_sharding,
-                bn_frozen=True)
+            if self.bn_warmup == "track":
+                # TRACKING warmup: same parameter tree, the forward
+                # normalises with running stats (frozen numerics) while the
+                # running averages update toward each batch's moments
+                # (nn/reattention.py bn_track) — so the epoch-K flip to
+                # exact batch-stats semantics is a continuous change of the
+                # forward function.  The hard frozen→exact flip is NOT
+                # (stats stay at init during a frozen phase): it destroys
+                # the warmed solution (CONVERGENCE.json segmentation_demo).
+                import dataclasses
+                track_model = self.model.clone(
+                    config=dataclasses.replace(self.model.config,
+                                               bn_track=True))
+                self._frozen_steps = build_step_functions(
+                    track_model, self.tx, self.loss_fn, mesh=self.mesh,
+                    metrics=self.metric_fns,
+                    zero_sharding=self.zero_sharding)
+            else:
+                # same model and parameter tree, frozen-BN train semantics
+                # (use_running_average=True inside the train step); used for
+                # the first bn_freeze_epochs epochs — eval always runs
+                # running-average semantics via self.steps
+                self._frozen_steps = build_step_functions(
+                    self.model, self.tx, self.loss_fn, mesh=self.mesh,
+                    metrics=self.metric_fns,
+                    zero_sharding=self.zero_sharding, bn_frozen=True)
         else:
             self._frozen_steps = None
         return self.state
@@ -427,6 +488,10 @@ class Fitter:
             # donated buffers pile up unboundedly (see __init__ docstring)
             from collections import deque
             pending: deque = deque()
+            if (self._frozen_steps is not None
+                    and self.bn_warmup == "refold"
+                    and epoch == self.bn_freeze_epochs):
+                data = self._bn_refold_flip(data)
             train_step = (self._frozen_steps.train_step
                           if self._frozen_steps is not None
                           and epoch < self.bn_freeze_epochs
@@ -488,6 +553,37 @@ class Fitter:
         for cb in callbacks:
             cb.on_train_end(self)
         return self.history
+
+    def _bn_refold_flip(self, data):
+        """Stat-matched refold at the frozen→exact flip (bn_warmup='refold'):
+        measure each head-mix BN's batch moments on the first
+        ``bn_calib_batches`` train batches, fold them into the BN affine +
+        running statistics (``train.bn_refold`` — the exact-semantics
+        forward then computes the same function the frozen phase trained),
+        and re-initialise the optimizer state (the refolded BN scales shrink
+        by orders of magnitude; stale Adam second moments would mis-size
+        their first updates).  The calibration batches are chained back so
+        the flip epoch still trains on them."""
+        import itertools
+
+        from vit_unet_tpu.train.bn_refold import (bn_refold,
+                                                  estimate_bn_moments)
+        it = iter(data)
+        calib = list(itertools.islice(it, max(1, self.bn_calib_batches)))
+        if not calib:
+            raise ValueError("bn_warmup='refold' flip: train data yielded "
+                             "no batches to calibrate on")
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        moments = estimate_bn_moments(
+            self.model, variables, [self._device_batch(b) for b in calib])
+        eps = float(getattr(getattr(self.model, "config", None),
+                            "attn_bn_eps", 1e-5))
+        params, stats = bn_refold(self.state.params, self.state.batch_stats,
+                                  moments, eps=eps)
+        self.state = self.state.replace(params=params, batch_stats=stats,
+                                        opt_state=self.tx.init(params))
+        return itertools.chain(calib, it)
 
     def evaluate(self, data, max_steps: Optional[int] = None) -> dict:
         return self._run_eval(data() if callable(data) else data, max_steps)
