@@ -250,8 +250,10 @@ def run_warmup(tag: str, xs, ys, xv, yv, *, freeze_epochs: int = 20,
     return {"tag": tag, "epochs": epochs, "freeze_epochs": freeze_epochs,
             "history": hist,
             "best_val_dice": max(h["val_dice"] for h in hist),
-            "best_val_dice_exact_phase": max(h["val_dice"]
-                                             for h in exact_hist),
+            # default=None: with freeze_epochs >= epochs there is no exact
+            # phase, and a ValueError here would discard the finished run
+            "best_val_dice_exact_phase": max(
+                (h["val_dice"] for h in exact_hist), default=None),
             "final_val_dice": hist[-1]["val_dice"],
             "wall_s": round(time.time() - t0, 1)}
 

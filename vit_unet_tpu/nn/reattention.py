@@ -398,9 +398,14 @@ class ReAttention(nn.Module):
                 sg(k.astype(self.dtype)), sg(v_cat),
                 sg(cp["kernel"].reshape(self.num_heads, self.num_heads).T),
                 sg(cp["bias"]), seed, self.num_heads, rate, blk, blk, interp)
+            # the 2-point stat tensor stays float32: with bf16 compute dtype
+            # s ~ 1e-3·mu rounds away in mu±s exactly in the near-degenerate
+            # regime tracking is meant to follow (flax's running stats are
+            # f32 and _compute_stats works in >= f32; only the discarded
+            # output depends on dtype)
             s = jnp.sqrt(jnp.maximum(var, 0.0))
             stat = jnp.stack([mu - s, mu + s])[:, None, None, :]
-            _ = self.var_norm(sg(stat.astype(self.dtype)),
+            _ = self.var_norm(sg(stat.astype(jnp.float32)),
                               use_running_average=False)
             return out
         # touch both layers so the param tree matches the XLA path
@@ -419,7 +424,10 @@ class ReAttention(nn.Module):
         # update then matches the unsharded XLA path bit-for-bit
         s = jnp.sqrt(jnp.maximum(var, 0.0))
         stat = jnp.stack([mu - s, mu + s])[:, None, None, :]
-        _ = self.var_norm(jax.lax.stop_gradient(stat.astype(self.dtype)),
+        # float32 on purpose (not self.dtype): under bf16 the ±s offsets can
+        # round away against mu, corrupting the recovered variance; the
+        # output is discarded and flax's running stats are f32 regardless
+        _ = self.var_norm(jax.lax.stop_gradient(stat.astype(jnp.float32)),
                           use_running_average=False)
         return out
 

@@ -108,9 +108,12 @@ class Fitter:
           exactly the function the frozen phase trained — no normalisation
           shock.  The optimizer state is re-initialised at the flip (the
           refolded BN scales change by orders of magnitude, so stale Adam
-          moments would mis-size their first updates).  Calibration reads
-          the first ``bn_calib_batches`` batches of the flip epoch (they
-          are still trained on).
+          moments would mis-size their first updates); injected hyperparams
+          (the live learning rate, incl. ReduceLROnPlateau adjustments)
+          survive the reset, but a user-supplied ``optimizer`` transform
+          with an internal optax schedule restarts that schedule from step
+          0 at the flip.  Calibration reads the first ``bn_calib_batches``
+          batches of the flip epoch (they are still trained on).
         * ``'freeze'`` — hard flip (kept as the explicit/legacy mode): the
           running stats never moved during the frozen phase, so the flip is
           a documented normalisation shock (CONVERGENCE.json
@@ -142,6 +145,12 @@ class Fitter:
                     "bn_warmup='track' needs a model whose config carries "
                     "bn_track (ViTUNetConfig); use bn_warmup='freeze' for "
                     "other models")
+            if getattr(cfg, "sequence_parallel", False):
+                # fail here, not at trace time of the first warmup step
+                # (ReAttention._attend_sp has no bn_track side channel)
+                raise ValueError(
+                    "bn_warmup='track' is not supported with "
+                    "sequence_parallel=True; use bn_warmup='refold'")
         self.zero_sharding = zero_sharding
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
@@ -581,8 +590,22 @@ class Fitter:
                             "attn_bn_eps", 1e-5))
         params, stats = bn_refold(self.state.params, self.state.batch_stats,
                                   moments, eps=eps)
+        fresh_opt = self.tx.init(params)
+        # The reset wipes Adam moments on purpose, but it must NOT undo LR
+        # adjustments made during the frozen phase (ReduceLROnPlateau writes
+        # into the inject_hyperparams dict, which tx.init re-creates at the
+        # constructor LR).  Carry the live hyperparams over.  A user-supplied
+        # tx with an *internal* optax schedule is different: its step count
+        # lives next to the Adam moments, and restoring it onto zeroed
+        # moments would corrupt the bias correction — so the flip restarts
+        # such schedules from step 0 (documented in the fit() docstring).
+        old_hp = self._find_hyperparams(self.state.opt_state)
+        new_hp = self._find_hyperparams(fresh_opt)
+        if old_hp is not None and new_hp is not None:
+            for key, value in old_hp.items():
+                new_hp[key] = value
         self.state = self.state.replace(params=params, batch_stats=stats,
-                                        opt_state=self.tx.init(params))
+                                        opt_state=fresh_opt)
         return itertools.chain(calib, it)
 
     def evaluate(self, data, max_steps: Optional[int] = None) -> dict:
