@@ -51,6 +51,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -90,8 +91,12 @@ def _dropout_mask(seed_ref, rate: float, bi, h, qi, ki, nq: int, nk: int,
     # collapses to max(0, 0.5-rate) (caught by keep-rate stats tests).
     bits = pltpu.prng_random_bits(shape)
     bits24 = jax.lax.shift_right_logical(bits, 8)        # [0, 2^24)
-    u = bits24.astype(jnp.float32) * _INV_2_24           # [0, 1)
-    keep = u >= rate
+    # integer threshold, bit-identical to the float compare it replaces:
+    # bits24 * 2^-24 is exact in f32 (<= 24 significant bits, power-of-two
+    # scale), so  u >= f32(rate)  <=>  bits24 >= ceil(f32(rate) * 2^24) —
+    # the int compare saves the convert+multiply VPU ops per score element
+    thr = int(math.ceil(float(np.float32(rate)) * float(1 << 24)))
+    keep = bits24 >= thr
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
 
 
@@ -179,11 +184,40 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, vsum_ref, m_ref, c_ref,
 # recomputed exactly once in the whole backward.
 # ---------------------------------------------------------------------------
 
+def _fused_ghat(num_heads: int, dh: int) -> bool:
+    """Backward dA/dV formulation choice, by shape (static).
+
+    The head-mix affinity gives two exact formulations of the same sums:
+
+    legacy:  T_hp = g_hp @ v_hp^T (H depth-dh f32 matmuls), then
+             dA_h2 = Σ_hp m[hp,h2]·T_hp and B_hp = Σ_h2 m[hp,h2]·A_h2
+             (2·H² full-(bq,bk)-tile VPU FMA passes), dV_hp = B_hp^T @ g_hp
+             (H more f32 matmuls — f32 MXU passes cost ~4x bf16).
+    fused:   ghat_h2 = g ⊙ w_h2 in storage dtype (w_h2[j] = m[hp(j),h2],
+             H cheap (bq,proj) scalings), then dA_h2 = ghat_h2 @ V_cat^T
+             and dV += A_h2^T @ ghat_h2 — single-pass storage-dtype matmuls
+             over the full proj contraction, and the 2·H² tile mixes vanish.
+
+    Fused wins when the proj-deep bf16 matmul issues no more MXU slot
+    passes than the H dh-deep f32 matmuls it replaces:
+    ceil(H·dh/128) <= 3·ceil(dh/128) (conservative 3x f32 factor) — true
+    for every fine/bottleneck level of the shipped presets (proj <= 384);
+    the wide-proj mid/coarse levels (H8·dh96, H16·dh48, dh >= 192·H8)
+    keep the legacy form.  In float32 storage both forms are the same
+    exact sums reassociated; in bf16 the fused form rounds ghat/A to bf16
+    before the MXU — the same rounding class the dk/dq matmuls already
+    apply to ds."""
+    proj = num_heads * dh
+    return -(-proj // 128) <= 3 * -(-dh // 128)
+
+
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
                     m_ref, *rest,
                     num_heads: int, n_q_valid: int, n_k_valid: int,
                     block_q: int, rate: float,
-                    bn_corr: bool = False):
+                    bn_corr: bool = False, fused: bool = False):
+    if fused:
+        w_exp_ref, rest = rest[0], rest[1:]
     if bn_corr:
         # batch-stats BatchNorm mode: dA gains the stats-gradient correction
         #   ΔdA_h2 = kappa_h2 + Σ_h3 G[h3, h2] · A_h3
@@ -212,14 +246,18 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
     col_ids = col_ids + ki * block_k
     valid = (row_ids < n_q_valid) & (col_ids < n_k_valid)
 
-    g = g_ref[0].astype(jnp.float32)                    # (bq, proj)
     v = v_ref[0]                                        # (bk, proj)
-    t_tiles = []
-    for hp in range(num_heads):
-        sl = slice(hp * dh, (hp + 1) * dh)
-        t_tiles.append(jax.lax.dot_general(
-            g[:, sl], v[:, sl].astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))
+    if fused:
+        g_sto = g_ref[0]                                # storage dtype
+    else:
+        g = g_ref[0].astype(jnp.float32)                # (bq, proj)
+        t_tiles = []
+        for hp in range(num_heads):
+            sl = slice(hp * dh, (hp + 1) * dh)
+            t_tiles.append(jax.lax.dot_general(
+                g[:, sl], v[:, sl].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
 
     # probabilities first (the bn correction needs every head's A before any
     # ds); p = normalised pre-dropout, a = dropout-masked
@@ -240,9 +278,23 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
         a_tiles.append(p * mask if mask is not None else p)
 
     for h2 in range(num_heads):
-        da = jnp.zeros((block_q, block_k), jnp.float32)
-        for hp in range(num_heads):
-            da = da + m_ref[hp, h2] * t_tiles[hp]
+        if fused:
+            # dA_h2 = (g ⊙ w_h2) @ V_cat^T — one proj-deep matmul replaces
+            # the H T_hp matmuls + H² tile FMA mix (see _fused_ghat)
+            ghat = (g_sto.astype(jnp.float32)
+                    * w_exp_ref[h2][None, :]).astype(g_sto.dtype)
+            da = jax.lax.dot_general(
+                ghat, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dV += A_h2^T @ ghat_h2 covers this head's contribution to
+            # EVERY hp block at once (ghat's block hp is m[hp,h2]·g_hp)
+            dv_s[...] = dv_s[...] + jax.lax.dot_general(
+                a_tiles[h2].astype(v.dtype), ghat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bk, proj)
+        else:
+            da = jnp.zeros((block_q, block_k), jnp.float32)
+            for hp in range(num_heads):
+                da = da + m_ref[hp, h2] * t_tiles[hp]
         if bn_corr:
             da = da + kappa_ref[h2, 0]
             for h3 in range(num_heads):
@@ -260,15 +312,16 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, lse_ref, d_in_ref,
             ds.astype(k_ref.dtype), k_ref[0, h2],
             preferred_element_type=jnp.float32).astype(dqp_ref.dtype)
 
-    # dv_hp = B_hp^T @ g_hp, B_hp = sum_h2 m_eff[hp, h2] * A_h2
-    for hp in range(num_heads):
-        b_hp = jnp.zeros((block_q, block_k), jnp.float32)
-        for h2 in range(num_heads):
-            b_hp = b_hp + m_ref[hp, h2] * a_tiles[h2]
-        sl = slice(hp * dh, (hp + 1) * dh)
-        dv_s[:, sl] = dv_s[:, sl] + jax.lax.dot_general(
-            b_hp, g[:, sl], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (bk, dh)
+    if not fused:
+        # dv_hp = B_hp^T @ g_hp, B_hp = sum_h2 m_eff[hp, h2] * A_h2
+        for hp in range(num_heads):
+            b_hp = jnp.zeros((block_q, block_k), jnp.float32)
+            for h2 in range(num_heads):
+                b_hp = b_hp + m_ref[hp, h2] * a_tiles[h2]
+            sl = slice(hp * dh, (hp + 1) * dh)
+            dv_s[:, sl] = dv_s[:, sl] + jax.lax.dot_general(
+                b_hp, g[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (bk, dh)
 
     @pl.when(qi == nq - 1)
     def _epilogue():
@@ -439,18 +492,25 @@ def _bwd(q, k, v_cat, m_eff, seed, lse_blocked, onorm, g, *, num_heads, rate,
         m_spec,
     ]
     extra_args = []
+    fused = _fused_ghat(num_heads, dh)
+    if fused:
+        # dh-expanded head-mix weights for the fused dA/dV matmuls:
+        # w_exp[h2, hp*dh + d] = m_eff[hp, h2]
+        dkv_in.append(pl.BlockSpec((num_heads, proj),
+                                   lambda *a, **_: (0, 0)))
+        extra_args.append(jnp.repeat(m32.T, dh, axis=1))
     if bn_extra is not None:
         g_mat, kappa = bn_extra
         dkv_in.append(m_spec)                            # G (H, H)
         dkv_in.append(pl.BlockSpec((num_heads, 1), lambda *a, **_: (0, 0),
                                    memory_space=pltpu.SMEM))
-        extra_args = [g_mat.astype(jnp.float32),
-                      kappa.reshape(num_heads, 1).astype(jnp.float32)]
+        extra_args.extend([g_mat.astype(jnp.float32),
+                           kappa.reshape(num_heads, 1).astype(jnp.float32)])
     dk, dv, dq_part = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, num_heads=num_heads,
                           n_q_valid=n, n_k_valid=n_k,
                           block_q=block_q, rate=rate,
-                          bn_corr=bn_extra is not None),
+                          bn_corr=bn_extra is not None, fused=fused),
         out_shape=(
             jax.ShapeDtypeStruct((batch, nk, heads, block_k, dh), jnp.float32),
             jax.ShapeDtypeStruct((batch, nk_pad, proj), jnp.float32),
