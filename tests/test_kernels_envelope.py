@@ -206,3 +206,25 @@ def test_bn_kernel_parity_at_512_tiles_awkward_n():
     # the gap here is the reference's reduction noise, not the kernel's.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=4e-3)
+
+
+def test_fused_ghat_gate_per_preset_level():
+    """The backward's dA/dV formulation choice is static per shape
+    (flash_reattention_train._fused_ghat).  Pin the decision for every
+    flash level of the shipped presets so a gate regression shows up as a
+    test diff, not a silent perf change: fused wherever one proj-deep
+    storage-dtype matmul issues no more MXU passes than the H dh-deep f32
+    matmuls it replaces (conservative 3x f32 factor)."""
+    from vit_unet_tpu.kernels.flash_reattention_train import _fused_ghat
+
+    expected = {
+        # (H, dh): fused?
+        (4, 12): True,     # lite fine      proj 48
+        (4, 48): True,     # lite mid       proj 192
+        (4, 192): True,    # lite coarse    proj 768, dh needs 2 passes
+        (8, 24): True,     # base/large bottleneck  proj 192
+        (8, 96): False,    # base mid       proj 768 = 6 passes vs 3
+        (16, 48): False,   # large mid      proj 768 = 6 passes vs 3
+    }
+    for (h, dh), want in expected.items():
+        assert _fused_ghat(h, dh) is want, (h, dh)
