@@ -451,15 +451,31 @@ class TestBNTrackMode:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
 
-    def test_track_sp_guard(self):
+    @pytest.mark.parametrize("flash", [False, True])
+    def test_track_sp_matches_unsharded(self, flash):
+        """Tracking warmup UNDER sequence parallelism: the SP module's
+        frozen forward and EMA update both equal the unsharded track
+        module's (cross-shard psum'd moments; flash = the rectangular
+        fused kernel + flash_bn_batch_moments sweep in interpret mode)."""
         from tests.conftest import cpu_devices
         from vit_unet_tpu.parallel.mesh import create_mesh
         mesh = create_mesh(model_parallel=2, devices=cpu_devices(8)[:2])
-        m = self._mk(bn_track=True, sequence_parallel=True, sp_mesh=mesh,
-                     sp_min_tokens=128)
+        kw = dict(bn_track=True)
+        if flash:
+            kw.update(use_flash=True, flash_train=True)
+        m_sp = self._mk(sequence_parallel=True, sp_mesh=mesh,
+                        sp_min_tokens=128, **kw)
+        m_ref = self._mk(**kw)
         x = jax.random.normal(jax.random.key(0), (2, 256, 192), jnp.float32)
-        v = m.init(jax.random.key(1), x)
-        with pytest.raises(NotImplementedError, match="bn_track"):
-            m.apply(v, x, deterministic=False, use_running_average=False,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": jax.random.key(2)})
+        v = m_ref.init(jax.random.key(1), x)
+
+        out_sp, bs_sp = self._run(m_sp, v, x, False)
+        out_ref, bs_ref = self._run(m_ref, v, x, False)
+        np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_ref),
+                                   rtol=5e-5, atol=5e-5)
+        for a, b in zip(jax.tree.leaves(bs_sp), jax.tree.leaves(bs_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+        # the stats really moved off init (it IS a tracking update)
+        assert any(not np.array_equal(a, b) for a, b in
+                   zip(jax.tree.leaves(bs_sp), jax.tree.leaves(v["batch_stats"])))

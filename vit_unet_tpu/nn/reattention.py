@@ -480,12 +480,10 @@ class ReAttention(nn.Module):
         over ``sp_axis``, K/V all-gathered over ICI.  Eval uses the folded
         running-stats affine; training runs dropout + batch-stats BN with
         cross-shard psums, then feeds the exact batch statistics back into
-        ``var_norm``'s running averages."""
-        if self.bn_track and not use_running_average:
-            raise NotImplementedError(
-                "bn_track (tracking-BN warmup) is not wired into the "
-                "sequence-parallel path yet — train the warmup phase "
-                "without sequence_parallel, or use frozen/exact BN under SP")
+        ``var_norm``'s running averages.  ``bn_track`` composes: the frozen
+        forward plus a cross-shard moments sweep whose result feeds the EMA
+        (``track_stats`` in sequence.py), matching the unsharded tracking
+        warmup exactly."""
         from vit_unet_tpu.parallel.sequence import (
             sequence_parallel_reattention, sequence_parallel_reattention_train)
 
@@ -510,7 +508,9 @@ class ReAttention(nn.Module):
         # statistics exactly as on one chip (_attend_flash_train)
         frozen_fast = (self.flash_train and self.flash_frozen_bn and flash_ok
                        and not use_running_average)
-        if use_running_average or frozen_fast:
+        tracking = (self.bn_track and not use_running_average
+                    and not frozen_fast)
+        if use_running_average or frozen_fast or tracking:
             bs = self.var_norm.variables["batch_stats"]
             running = (bs["mean"], bs["var"])
         else:
@@ -524,16 +524,20 @@ class ReAttention(nn.Module):
             running_stats=running,
             # frozen mode folds the running stats; batch-stats mode runs
             # the bn kernel with cross-shard psum'd moments — see sequence.py
-            use_flash=self.flash_train and flash_ok)
-        if not use_running_average and not frozen_fast:
+            use_flash=self.flash_train and flash_ok,
+            track_stats=tracking)
+        if (not use_running_average and not frozen_fast) or tracking:
             # Update var_norm's running averages through the normal flax
             # machinery: a 2-point tensor per feature with batch statistics
             # exactly (mean, var) — BatchNorm's EMA update then matches the
-            # unsharded path bit-for-bit (output discarded).
-            s = jnp.sqrt(var)
+            # unsharded path bit-for-bit (output discarded).  float32 on
+            # purpose (not self.dtype): under bf16 the ±s offsets can round
+            # away against mean, corrupting the recovered variance; flax's
+            # running stats are f32 regardless.
+            s = jnp.sqrt(jnp.maximum(var, 0.0))
             dummy = jnp.stack([mean - s, mean + s])[:, None, None, :]
             _ = self.var_norm(
-                jax.lax.stop_gradient(dummy.astype(self.dtype)),
+                jax.lax.stop_gradient(dummy.astype(jnp.float32)),
                 use_running_average=False)
         return out
 

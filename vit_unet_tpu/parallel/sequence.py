@@ -121,7 +121,8 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
                              use_batch_stats: bool,
                              n_global: int, b_global: int,
                              use_flash: bool = False,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             track: bool = False):
     """Training-mode per-shard body: softmax -> attention dropout ->
     1x1 head-mix conv -> BatchNorm with *batch* statistics psum'd across
     every shard of the (batch, token-row) plane -> @V.
@@ -167,6 +168,21 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
             out = flash_reattention_train(q, k_full, v_cat, m_eff, c_eff,
                                           kseed, heads, rate, blk, blk,
                                           interpret)
+            if track:
+                # tracking-BN warmup under SP: a stop-gradient stats sweep
+                # (same kseed/rate, so the moments are those of the masked
+                # probabilities the frozen forward used) with cross-shard
+                # psums — the returned moments equal the unsharded batch
+                # moments exactly, feeding the caller's EMA side channel
+                from vit_unet_tpu.kernels.flash_reattention_train import (
+                    flash_bn_batch_moments)
+                sg = jax.lax.stop_gradient
+                axes = (axis,) if batch_axis is None else (axis, batch_axis)
+                mu, var = flash_bn_batch_moments(
+                    sg(q), sg(k_full), sg(v_cat), sg(mix_kernel.T),
+                    sg(mix_bias), kseed, heads, rate, blk, blk, interpret,
+                    psum_axes=axes, cnt=b_global * n_global * n_global)
+                return out, mu, var
             return out, rm.astype(jnp.float32), rv.astype(jnp.float32)
         # EXACT batch-stats mode: the bn kernel's moments and
         # through-the-statistics gradient terms psum across every shard of
@@ -202,11 +218,25 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
         mean = jax.lax.psum(jnp.sum(a, axis=(0, 2, 3)), axes) / cnt
         sq = jax.lax.psum(jnp.sum(jnp.square(a), axis=(0, 2, 3)), axes) / cnt
         var = jnp.maximum(sq - jnp.square(mean), 0.0)  # match flax BatchNorm
+        ret_mean, ret_var = mean, var
     else:
         # dropout-under-frozen-stats mode (use_running_average=True while
-        # training): normalise with the running averages
+        # training, or the tracking warmup): normalise with the running
+        # averages
         mean = rm.astype(jnp.float32)
         var = rv.astype(jnp.float32)
+        ret_mean, ret_var = mean, var
+        if track:
+            # tracking warmup: return this batch's own cross-shard moments
+            # (stop-gradient — a non-gradient EMA side channel) while the
+            # forward stays frozen-normalised
+            sg = jax.lax.stop_gradient(a)
+            axes = (axis,) if batch_axis is None else (axis, batch_axis)
+            cnt = jnp.asarray(b_global * n_global * a.shape[3], jnp.float32)
+            ret_mean = jax.lax.psum(jnp.sum(sg, axis=(0, 2, 3)), axes) / cnt
+            sq = jax.lax.psum(jnp.sum(jnp.square(sg), axis=(0, 2, 3)),
+                              axes) / cnt
+            ret_var = jnp.maximum(sq - jnp.square(ret_mean), 0.0)
     a = ((a - mean[None, :, None, None])
          * jax.lax.rsqrt(var + eps)[None, :, None, None]
          * bn_scale.astype(jnp.float32)[None, :, None, None]
@@ -215,7 +245,7 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
         a = a * reatten_scale
     out = jnp.einsum("bhnm,bhmd->bhnd", a.astype(v_full.dtype), v_full)
     b, h, n, dh = out.shape
-    return out.transpose(0, 2, 1, 3).reshape(b, n, h * dh), mean, var
+    return out.transpose(0, 2, 1, 3).reshape(b, n, h * dh), ret_mean, ret_var
 
 
 def sequence_parallel_reattention_train(
@@ -237,6 +267,7 @@ def sequence_parallel_reattention_train(
                                             # these instead of batch stats
     use_flash: bool = False,
     interpret: Optional[bool] = None,
+    track_stats: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Training-mode sequence-parallel re-attention.
 
@@ -250,6 +281,14 @@ def sequence_parallel_reattention_train(
     the frozen-stats kernel when ``running_stats`` is given, the exact
     batch-stats bn kernel (cross-shard psum'd moments and gradients)
     otherwise.
+
+    ``track_stats`` (requires ``running_stats``): the tracking-BN warmup
+    mode — the forward stays frozen-normalised, but the returned
+    ``(mean, var)`` are this batch's OWN cross-shard moments (stop-gradient
+    stats sweep; with ``use_flash``, a ``flash_bn_batch_moments`` pass with
+    the same in-kernel dropout seed as the forward), exactly equal to the
+    unsharded tracking moments — so the caller's running-average EMA
+    converges toward batch statistics ahead of a flip to exact semantics.
     """
     b, _, n, _ = q.shape
     size = mesh.shape[axis]
@@ -263,6 +302,9 @@ def sequence_parallel_reattention_train(
     seed = jax.random.key_data(
         dropout_rng if dropout_rng is not None else jax.random.key(0))
     use_batch_stats = running_stats is None
+    if track_stats and use_batch_stats:
+        raise ValueError("track_stats needs running_stats (the tracking "
+                         "warmup normalises with the frozen averages)")
     heads = mix_bias.shape[0]
     rm, rv = (running_stats if running_stats is not None
               else (jnp.zeros((heads,)), jnp.ones((heads,))))
@@ -272,7 +314,8 @@ def sequence_parallel_reattention_train(
         partial(_local_reattention_train, axis=axis, batch_axis=ba,
                 rate=rate, eps=eps, reatten_scale=reatten_scale,
                 use_batch_stats=use_batch_stats, n_global=n, b_global=b,
-                use_flash=use_flash, interpret=interpret),
+                use_flash=use_flash, interpret=interpret,
+                track=track_stats),
         mesh=mesh,
         in_specs=(tok, tok, tok, P(None, None), P(None), P(None), P(None),
                   P(None), P(None), P(None)),

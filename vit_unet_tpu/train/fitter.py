@@ -145,12 +145,6 @@ class Fitter:
                     "bn_warmup='track' needs a model whose config carries "
                     "bn_track (ViTUNetConfig); use bn_warmup='freeze' for "
                     "other models")
-            if getattr(cfg, "sequence_parallel", False):
-                # fail here, not at trace time of the first warmup step
-                # (ReAttention._attend_sp has no bn_track side channel)
-                raise ValueError(
-                    "bn_warmup='track' is not supported with "
-                    "sequence_parallel=True; use bn_warmup='refold'")
         self.zero_sharding = zero_sharding
         self.mesh = mesh
         if scale_lr_by_replicas and mesh is not None:
