@@ -1,6 +1,8 @@
 """Data layer tests: TFRecord codec, datasets, loader, augmentations."""
 import os
 
+import jax.numpy as jnp
+
 import cv2
 import numpy as np
 import pytest
@@ -346,3 +348,60 @@ def test_tfrecord_streaming_reader_detects_corruption(tmp_path):
     open(path, "wb").write(bytes(raw[:-6]))
     with pytest.raises(IOError, match="truncated"):
         list(tfr.read_records_streaming(path, verify_crc=False))
+
+
+def test_tfrecord_stream_raw_device_normalize(tmp_path):
+    """host_convert=False + device_normalize: raw uint8 NHWC batches whose
+    on-device conversion equals the host-convert path to 1 ulp (XLA
+    canonicalises /255 to a reciprocal multiply, so the last bit can
+    differ from numpy's divide) — the low-H2D input recipe
+    tools/datafeed_bench.py uses."""
+    from vit_unet_tpu.data.loader import TFRecordStream, device_normalize
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            for _ in range(8)]
+    items = [{"x": im.tobytes(), "y": (255 - im).tobytes()} for im in imgs]
+    paths = tfr.convert(items, str(tmp_path), "fold_0_", lambda it: it)
+
+    host = list(TFRecordStream(paths, shape=(8, 8, 3), batch_size=4))
+    raw_stream = TFRecordStream(paths, shape=(8, 8, 3), batch_size=4,
+                                host_convert=False)
+    conv = device_normalize()
+    dev = list(prefetch_to_device(iter(raw_stream), transform=conv))
+    assert len(host) == len(dev) == 2
+    for hb, db in zip(host, dev):
+        for k in ("x", "y"):
+            assert db[k].dtype == jnp.float32
+            np.testing.assert_allclose(np.asarray(db[k]), hb[k],
+                                       rtol=0, atol=1.2e-7)
+
+
+def test_device_resident_data_matches_host_pipeline():
+    """DeviceResidentData: staged-uint8 + on-device gather/normalize batches
+    equal the host-converted content (1-ulp /255 tolerance), full batches
+    only, per-epoch reshuffle reorders but preserves the multiset."""
+    from vit_unet_tpu.data.loader import DeviceResidentData
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 255, (10, 8, 8, 3), dtype=np.uint8)
+    y = 255 - x
+    ds = DeviceResidentData(x, y, batch_size=4, shuffle=False)
+    got = list(ds)
+    assert len(ds) == len(got) == 2          # drop_remainder
+    ref = x[:8].astype(np.float32).transpose(0, 3, 1, 2) / 255.0
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(b["x"]) for b in got]), ref,
+        rtol=0, atol=1.2e-7)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(b["y"]) for b in got]),
+        (255 - x)[:8].astype(np.float32).transpose(0, 3, 1, 2) / 255.0,
+        rtol=0, atol=1.2e-7)
+
+    sh = DeviceResidentData(x, y, batch_size=5, seed=1)
+    e1 = np.concatenate([np.asarray(b["x"]) for b in sh])
+    e2 = np.concatenate([np.asarray(b["x"]) for b in sh])
+    assert e1.shape == e2.shape == (10, 3, 8, 8)
+    np.testing.assert_allclose(np.sort(e1.reshape(10, -1).sum(1)),
+                               np.sort(e2.reshape(10, -1).sum(1)), atol=1e-5)
+    assert not np.allclose(e1, e2)

@@ -3,6 +3,7 @@ from vit_unet_tpu.data.datasets import (
     SegmentationDataset, PairedImageDataset, kfold_split,
 )
 from vit_unet_tpu.data.loader import (
-    DataLoader, TFRecordStream, prefetch_to_device, tfrecord_dataset,
+    DataLoader, DeviceResidentData, TFRecordStream, device_normalize,
+    prefetch_to_device, tfrecord_dataset,
 )
 from vit_unet_tpu.data import tfrecord
