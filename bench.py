@@ -25,6 +25,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 155.0 / 8.0  # TF-TPU notebook on v2-8
@@ -162,6 +163,97 @@ def measure_preset(name: str, frozen_bn: bool = False):
     return sync_every, pipelined, spread
 
 
+def measure_datafeed(pairs: int = 256, iters: int = 12):
+    """Data-fed vs synthetic throughput on the base preset (exact BN):
+    TFRecord shards (C++ codec, CRC on) feeding the SAME pipelined step —
+    via the device-resident path (stage uint8 once, jitted gather+normalize
+    on device; `data.DeviceResidentData`).  The streaming path and the
+    tunnel-H2D artifact analysis live in tools/datafeed_bench.py and
+    docs/PERF.md "Data-fed throughput".
+
+    MUST run before any train-kernel program executes in this process: on
+    the tunnelled runtime, H2D drops ~100x after the first one (bisected in
+    PERF.md), so staging — like production — goes first.  Returns a dict of
+    context arrays + metadata; the throughput run happens inside
+    measure_preset's protocol via the returned iterator factory.
+    """
+    import tempfile
+
+    from vit_unet_tpu.data import tfrecord as tfrc
+    from vit_unet_tpu.data.loader import DeviceResidentData
+
+    rng = _np_random()
+    with tempfile.TemporaryDirectory() as tmp:
+        def items():
+            for _ in range(pairs):
+                y = rng.integers(0, 256, (224, 224, 3), np.uint8)
+                x = np.clip(y.astype(np.float32)
+                            + rng.normal(0.0, 12.0, y.shape),
+                            0, 255).astype(np.uint8)
+                yield {"x": x.tobytes(), "y": y.tobytes()}
+
+        paths = tfrc.convert(items(), tmp, "bench_", lambda it: it,
+                             max_mb=128)
+        xs, ys = [], []
+        for p in paths:
+            for ex in tfrc.read_examples(p, verify_crc=True):
+                xs.append(np.frombuffer(ex["x"][0], np.uint8)
+                          .reshape(224, 224, 3))
+                ys.append(np.frombuffer(ex["y"][0], np.uint8)
+                          .reshape(224, 224, 3))
+    t0 = time.perf_counter()
+    res = DeviceResidentData(np.stack(xs), np.stack(ys), BATCH, seed=0)
+    return res, time.perf_counter() - t0
+
+
+def _np_random():
+    return np.random.default_rng(0)
+
+
+def measure_base_datafed(resident):
+    """Pipelined img/s of the base exact-BN step fed by the staged
+    device-resident dataset (same step protocol as measure_preset)."""
+    from collections import deque
+
+    from vit_unet_tpu.models.vit_unet import get_vit_unet
+    from vit_unet_tpu.parallel.train_step import (TrainState,
+                                                  build_step_functions)
+    from vit_unet_tpu.train.losses import mse
+
+    model = get_vit_unet("base", dtype="bfloat16", param_dtype="bfloat16",
+                         use_flash=True, flash_train=True)
+    tx = optax.adamw(1e-4)
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 3, 224, 224)))
+    state = TrainState.create(params=variables["params"], tx=tx,
+                              batch_stats=variables.get("batch_stats", {}),
+                              rng=jax.random.key(1))
+    steps = build_step_functions(model, tx, mse)
+
+    def cycle():
+        while True:
+            yield from resident
+
+    it = cycle()
+    for _ in range(3):
+        state, m = steps.train_step(state, next(it))
+        float(m["loss"])
+    iters = 20
+    win = []
+    for _ in range(3):
+        pending = deque()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = steps.train_step(state, next(it))
+            pending.append(m["loss"])
+            if len(pending) >= 8:
+                float(pending.popleft())
+        while pending:
+            float(pending.popleft())
+        win.append(BATCH * iters / (time.perf_counter() - t0))
+    return sorted(win)[1]
+
+
 def _devices_bounded(timeout_s: float = 900.0):
     """First backend touch, bounded.  The tunnelled TPU plugin's client init
     can hang outright (observed wedge mode: hours of no progress, no
@@ -203,6 +295,16 @@ def main() -> None:
     names = ("lite", "base", "large")
     flops = {name: model_flops_per_image(name) for name in names}
 
+    # stage the data-fed context BEFORE any train-kernel program runs in
+    # this process (H2D degrades ~100x after the first — PERF.md bisect);
+    # a failure here must not cost the round its headline artifact
+    try:
+        resident, stage_s = measure_datafeed()
+    except Exception as e:
+        import sys
+        print(f"bench: datafeed staging failed: {e!r}", file=sys.stderr)
+        resident, stage_s = None, None
+
     def mfu(img_per_s, name):
         if peak is None or flops[name] is None or img_per_s is None:
             return None
@@ -229,6 +331,13 @@ def main() -> None:
 
     both = {name: robust(name, False) for name in names}
     both_fast = {name: robust(name, True) for name in names}
+    try:
+        data_fed = measure_base_datafed(resident) if resident is not None \
+            else None
+    except Exception as e:
+        import sys
+        print(f"bench: data-fed measurement failed: {e!r}", file=sys.stderr)
+        data_fed = None
     results = {name: v[0] for name, v in both.items()}
     piped = {name: v[1] for name, v in both.items()}
     spread = {name: v[2] for name, v in both.items()}
@@ -268,6 +377,18 @@ def main() -> None:
                            for k, v in flops.items()},
         "mfu": {k: mfu(v, k) for k, v in results.items()},
         "mfu_fast": {k: mfu(v, k) for k, v in fast.items()},
+        # pipelined base exact-BN step fed from TFRecord-derived data via
+        # the device-resident path (stage u8 once, on-device
+        # gather+normalize; data.DeviceResidentData) — vs its synthetic
+        # pipelined number.  Streaming-path numbers + the tunnel-H2D
+        # artifact bisect: tools/datafeed_bench.py, PERF.md.
+        "data_fed": ({
+            "base": r2(data_fed),
+            "vs_synthetic": (round(data_fed / piped["base"], 4)
+                             if piped.get("base") else None),
+            "stage_s": round(stage_s, 2),
+            "pairs": 256,
+        } if data_fed is not None else None),
     }))
 
 
