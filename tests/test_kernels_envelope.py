@@ -63,6 +63,26 @@ def test_block_pick_rectangular(heads, dh, n_q, n_k, expected):
     assert pick_flash_block(n_q, n_k, num_heads=heads, dh=dh) == expected
 
 
+def test_block_pick_bottleneck_mode_aware():
+    """Round-5 rule: the bottleneck class (H8, dh24, N784) runs a SINGLE
+    896 tile on the FROZEN TRAIN path only (-15% measured vs the 512
+    grid).  Eval keeps 512 (measured ~20% slower at 896) and the
+    batch-stats kernels keep 512 (still Mosaic-crash at 896) —
+    tools/tile_bench.jsonl r5 rows, docs/PERF.md."""
+    from vit_unet_tpu.kernels.flash_reattention import pick_flash_block
+    assert pick_flash_block(784, num_heads=8, dh=24, train=True) == 896
+    assert pick_flash_block(784, num_heads=8, dh=24) == 512          # eval
+    assert pick_flash_block(784, num_heads=8, dh=24, train=True,
+                            bn=True) == 512
+    # the ReAttention wrapper threads the mode through
+    mod = ReAttention(dim=192, num_heads=8)
+    assert mod._flash_block(784, train=True) == 896
+    assert mod._flash_block(784) == 512
+    assert mod._flash_block(784, train=True, bn=True) == 512
+    # fine levels (H4 rule fires first) are untouched by the new rule
+    assert pick_flash_block(513, num_heads=4, dh=12, train=True) == 640
+
+
 def test_sequence_parallel_flash_big_blocks():
     """The SP per-shard flash call now rides the swept tile envelope:
     parity vs the XLA shard body at a geometry whose pick is 512 tiles

@@ -183,7 +183,8 @@ def flash_reattention(
 
 
 def pick_flash_block(n_q: int, n_k: int | None = None, *,
-                     num_heads: int, dh: int) -> int:
+                     num_heads: int, dh: int, bn: bool = False,
+                     train: bool = False) -> int:
     """Sweep-measured kernel tile size for a (possibly rectangular)
     re-attention call — the single source of truth behind
     ``ReAttention._flash_block`` (square case) and the sequence-parallel
@@ -196,6 +197,13 @@ def pick_flash_block(n_q: int, n_k: int | None = None, *,
     multi-tile grids.  Rectangular shapes generalise the waste rule to the
     padded q x k score AREA (the kernels pad each axis to its own tile
     multiple); for n_q == n_k it reduces exactly to the square rule.
+
+    ``train``/``bn``: the round-5 single-tile-896 bottleneck rule applies
+    ONLY to the frozen training kernel (fwd+bwd — the backward's single k
+    sweep is where it wins; measured −15%).  The eval kernel is ~20%
+    SLOWER at 896 than 512 at the same shape, and the exact batch-stats
+    kernel (larger S/C stats accumulators) still Mosaic-crashes there —
+    both keep the r3 envelope.
     """
     n_k = n_q if n_k is None else n_k
     dim = num_heads * dh
@@ -211,6 +219,15 @@ def pick_flash_block(n_q: int, n_k: int | None = None, *,
         # long fine levels: minimise padded score area between 2x tiles
         return min((512, 640),
                    key=lambda b: (padded(n_q, b) * padded(n_k, b), b))
+    if (train and not bn and dh <= 24 and num_heads <= 8
+            and 512 < min(n_q, n_k) and n_max <= 896):
+        # round-5 (fused-ghat backward) re-sweep: the bottleneck class
+        # (H8, dh24, N784) now compiles AND wins at a SINGLE 896 tile —
+        # 13.6 vs 16.1 ms/call against the 512 grid (the whole online-
+        # softmax multi-tile machinery collapses to one pass; the r3
+        # "Mosaic-crashes at 896" belonged to the pre-fused backward's
+        # f32 tile mixes).  Exact-BN (bn=True) still crashes there.
+        return 896
     if dh <= 48 and num_heads <= 8 and min(n_q, n_k) >= 512:
         return 512
     if num_heads <= 8 and n_max > 128 and (dh <= 96 or n_max <= 256):

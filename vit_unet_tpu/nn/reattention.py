@@ -288,9 +288,12 @@ class ReAttention(nn.Module):
             bs["mean"], bs["var"], eps=self.bn_eps,
             reatten_scale=self.scale if self.transform_scale else 1.0)
 
-    def _flash_block(self, n: int) -> int:
+    def _flash_block(self, n: int, bn: bool = False,
+                     train: bool = False) -> int:
         """Adaptive kernel tile size, from the r3 TPU tile sweeps
-        (tools/tile_bench.jsonl; all numbers fwd+bwd per call):
+        (tools/tile_bench.jsonl; all numbers fwd+bwd per call;
+        ``bn``: the exact batch-stats kernels keep the r3 envelope — the
+        round-5 single-tile-896 bottleneck rule is frozen/eval-only):
 
         * thin heads (dh <= 48): 512 tiles win big — lite level-2
           (H4, dh48, N784) -25% vs 128; H8/dh48/N784 -14%.  The round-2
@@ -321,7 +324,8 @@ class ReAttention(nn.Module):
         rectangular sequence-parallel call)."""
         from vit_unet_tpu.kernels.flash_reattention import pick_flash_block
         return pick_flash_block(n, num_heads=self.num_heads,
-                                dh=self.dim // self.num_heads)
+                                dh=self.dim // self.num_heads, bn=bn,
+                                train=train)
 
     @staticmethod
     def _interpret(*arrays) -> bool:
@@ -372,7 +376,12 @@ class ReAttention(nn.Module):
         # in-kernel PRNG is TPU-only: interpret mode runs dropout-free
         rate = 0.0 if interp else float(self.attn_drop)
         seed = self._flash_seed(rate)
-        blk = self._flash_block(q.shape[2])
+        # track/exact modes run a batch-stats sweep (moments or bn kernel):
+        # those keep the bn envelope; the frozen train path gets the 896
+        # rule (train kernels only — eval is slower there)
+        blk = self._flash_block(
+            q.shape[2], train=True,
+            bn=not (use_running_average or self.flash_frozen_bn))
         if use_running_average or self.flash_frozen_bn:
             m_eff, c_eff = self._folded_compact()
             return flash_reattention_train(

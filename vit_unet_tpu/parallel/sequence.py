@@ -159,8 +159,11 @@ def _local_reattention_train(q, k, v, mix_kernel, mix_bias, bn_scale, bn_bias,
         if batch_axis is not None:
             idx = idx + jax.lax.axis_size(axis) * jax.lax.axis_index(batch_axis)
         kseed = kseed + idx * (1 << 20)
+        # exact-BN and the tracking moments sweep run the batch-stats
+        # kernels: those keep the bn tile envelope
         blk = pick_flash_block(q.shape[2], k_full.shape[2],
-                               num_heads=heads, dh=dh)
+                               num_heads=heads, dh=dh, train=True,
+                               bn=use_batch_stats or track)
         if not use_batch_stats:
             m_eff, c_eff = fold_reattention_compact(
                 mix_kernel.T, mix_bias, bn_scale, bn_bias, rm, rv,
